@@ -1,0 +1,182 @@
+"""Flagship KG-construction pipeline (the reference's
+``splitter → embedder → extractor → writer → resolver_exact`` DAG,
+``pipelines/kg_ingest.yaml:40-94``, re-expressed as a streaming
+``ray.data.Dataset`` pipeline).
+
+    documents ──chunker──► chunks ──┬─embedder──► chunk_embeddings
+                                    └─extractor─► triples
+    triples ──linker──► linked ──┬─► nodes   (groupby entity_id)
+                                 └─► edges   (groupby (src,type,dst))
+    chunks ────────────────────────► has_chunk edges (no shuffle)
+
+Stages share ONE streaming execution per consumed output; nothing
+materializes the full corpus on the driver. The resumable variant
+processes the per-document phase partition-by-partition (at scale a
+partition = a Lance fragment / input file) with lineage manifests, then
+runs the global canonicalization + materialization over the union of
+completed partition outputs.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..config import PipelineConfig
+from ..schema import DEFAULT_SCHEMA, GraphSchema
+from ..sources.io import read_table, write_table
+from ..stages.chunker import make_chunker
+from ..stages.embedder import HashEmbedder
+from ..stages.extractor import RuleExtractor
+from ..stages.linker import AliasLinker, build_alias_index
+from ..stages.materialize import edges_from_linked_triples, has_chunk_edges, nodes_from_linked_triples
+from ..state.manifest import Manifest, PartitionRecord
+
+
+@dataclass
+class KgBuildResult:
+    chunks: rd.Dataset
+    embeddings: rd.Dataset
+    triples: rd.Dataset
+    linked: rd.Dataset
+    nodes: rd.Dataset
+    edges: rd.Dataset
+
+
+def build_chunks(docs: rd.Dataset, cfg: PipelineConfig) -> rd.Dataset:
+    return docs.map_batches(
+        make_chunker(cfg.profile), batch_format="pyarrow", batch_size=cfg.chunk_batch_size
+    )
+
+
+def build_embeddings(chunks: rd.Dataset, cfg: PipelineConfig) -> rd.Dataset:
+    # concurrency=(1, N): autoscaling pool. A fixed pool of N would pin
+    # N CPUs even while idle and can starve the upstream read into a
+    # resource deadlock on small clusters (observed live on 8 CPUs).
+    return chunks.map_batches(
+        HashEmbedder,
+        fn_constructor_kwargs={"dim": cfg.embed_dim, "seed": cfg.embed_seed},
+        batch_format="pyarrow",
+        batch_size=cfg.embed_batch_size,
+        concurrency=(1, cfg.embed_concurrency),
+        num_cpus=1,
+    )
+
+
+def build_triples(chunks: rd.Dataset, cfg: PipelineConfig, schema: GraphSchema = DEFAULT_SCHEMA) -> rd.Dataset:
+    return chunks.select_columns(["doc_id", "chunk_uid", "seq", "text"]).map_batches(
+        RuleExtractor,
+        fn_constructor_kwargs={"schema": schema},
+        batch_format="pyarrow",
+        batch_size=cfg.extract_batch_size,
+        concurrency=(1, cfg.extract_concurrency),
+        num_cpus=1,
+    )
+
+
+def link_triples(triples: rd.Dataset, alias_table: pa.Table | None, cfg: PipelineConfig) -> rd.Dataset:
+    index = build_alias_index(alias_table) if alias_table is not None else {}
+    index_ref = ray.put(index)  # broadcast ONCE; actors read it in __init__
+    return triples.map_batches(
+        AliasLinker,
+        fn_constructor_kwargs={"index_ref": index_ref},
+        batch_format="pyarrow",
+        batch_size=cfg.extract_batch_size,
+        concurrency=(1, cfg.extract_concurrency),
+        num_cpus=1,
+    )
+
+
+def run_kg_build(
+    docs: rd.Dataset | str,
+    alias_table: pa.Table | None = None,
+    cfg: PipelineConfig | None = None,
+    schema: GraphSchema = DEFAULT_SCHEMA,
+) -> KgBuildResult:
+    """Single-pass flagship build. ``docs`` is a Dataset in the interleaved
+    shape (doc_id, spans) or a path to one."""
+    cfg = cfg or PipelineConfig()
+    if isinstance(docs, str):
+        docs = read_table(docs)
+    chunks = build_chunks(docs, cfg)
+    embeddings = build_embeddings(chunks, cfg)
+    triples = build_triples(chunks, cfg, schema)
+    linked = link_triples(triples, alias_table, cfg)
+    nodes = nodes_from_linked_triples(linked)
+    edges = edges_from_linked_triples(linked)
+    return KgBuildResult(chunks, embeddings, triples, linked, nodes, edges)
+
+
+def run_partition(
+    docs_file: str,
+    out_dir: str,
+    partition_id: str,
+    cfg: PipelineConfig,
+    schema: GraphSchema = DEFAULT_SCHEMA,
+    alias_table: pa.Table | None = None,
+) -> dict[str, int]:
+    """Per-document phase for ONE input partition (file/fragment): chunk,
+    embed, extract, link; outputs land under ``{out_dir}/{table}/{pid}/``."""
+    docs = read_table(docs_file)
+    chunks = build_chunks(docs, cfg)
+    chunks_dir = os.path.join(out_dir, "chunks", partition_id)
+    write_table(chunks, chunks_dir)
+    # re-read the partition's chunks so embed/extract stream from disk
+    chunks_pq = read_table(chunks_dir)
+    emb_dir = os.path.join(out_dir, "embeddings", partition_id)
+    write_table(build_embeddings(chunks_pq, cfg), emb_dir)
+    tri_dir = os.path.join(out_dir, "linked", partition_id)
+    linked = link_triples(build_triples(chunks_pq, cfg, schema), alias_table, cfg)
+    write_table(linked, tri_dir)
+    return {
+        "chunks": read_table(chunks_dir).count(),
+        "linked": read_table(tri_dir).count(),
+    }
+
+
+def run_kg_build_resumable(
+    docs_files: list[str],
+    out_dir: str,
+    cfg: PipelineConfig | None = None,
+    schema: GraphSchema = DEFAULT_SCHEMA,
+    alias_table: pa.Table | None = None,
+    fail_after: int | None = None,
+) -> dict:
+    """Partitioned, checkpointed build: one partition per input file (at
+    scale: per Lance fragment). Completed partitions are recorded in a
+    lineage manifest and skipped on re-run; the global graph phase runs
+    over the union of all partition outputs. ``fail_after`` aborts after
+    that many partitions (test hook for kill/resume)."""
+    cfg = cfg or PipelineConfig()
+    manifest = Manifest(os.path.join(out_dir, "manifest.jsonl"))
+    partitions = [(f"p{idx:05d}", f) for idx, f in enumerate(docs_files)]
+    pending = manifest.pending([p for p, _ in partitions])
+    done_count = 0
+    skipped = len(partitions) - len(pending)
+    for pid, path in partitions:
+        if pid not in pending:
+            continue
+        if fail_after is not None and done_count >= fail_after:
+            return {"status": "aborted", "completed": skipped + done_count, "total": len(partitions)}
+        counts = run_partition(path, out_dir, pid, cfg, schema, alias_table)
+        manifest.commit(PartitionRecord(partition_id=pid, status="done", rows=counts["chunks"], extra=counts))
+        done_count += 1
+
+    # Global phase over all completed partition outputs.
+    linked = read_table(os.path.join(out_dir, "linked"))
+    nodes = nodes_from_linked_triples(linked)
+    edges = edges_from_linked_triples(linked)
+    write_table(nodes, os.path.join(out_dir, "nodes"))
+    write_table(edges, os.path.join(out_dir, "edges"))
+    return {
+        "status": "done",
+        "completed": skipped + done_count,
+        "recomputed": done_count,
+        "total": len(partitions),
+        "nodes_dir": os.path.join(out_dir, "nodes"),
+        "edges_dir": os.path.join(out_dir, "edges"),
+    }

@@ -1,0 +1,143 @@
+"""Entity canonicalization: exact-match resolution + connected components.
+
+Parity: the reference's entire canonicalization is
+``SinglePropertyExactMatchResolver`` — merge entity nodes sharing
+(label, name) — run inside Neo4j (``pipelines/kg_ingest.yaml:69-77``).
+Here it is the canonicalization *shuffle*: ``groupby(label,
+normalized_name)`` with the minimum stable id as canonical. The north
+rule extends it with a distributed union-find (min-label propagation)
+over alias/similarity edges, with hot-key handling.
+
+Scale notes:
+  * the exact resolver pre-aggregates per batch (one row per key per
+    block) before the global groupby — partial/final combine, so a hot
+    name (Zipf skew) contributes one row per block, not one per mention;
+  * label propagation runs ``hash-min`` rounds: each round is two hash
+    joins (edge endpoints × current labels) + a groupby-min; rounds are
+    bounded by graph diameter (alias graphs are near-star ⇒ 2-3 rounds);
+  * for candidate graphs that are provably small (post-LSH / alias
+    tables), ``connected_components`` uses a driver-side union-find
+    below ``driver_threshold`` edges — the distributed path is the same
+    result, verified in tests.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Min
+
+
+def exact_resolution_mapping(nodes: rd.Dataset, id_col: str = "entity_id", label_col: str = "label", name_col: str = "name_norm") -> rd.Dataset:
+    """entity_id → canonical_id where canonical = min(entity_id) over the
+    (label, normalized-name) group. Emits only rows that change identity."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # per-block combine: one candidate row per (label, name, min id)
+        grouped = batch.group_by([label_col, name_col]).aggregate([(id_col, "min")])
+        return grouped.rename_columns([label_col, name_col, id_col])
+
+    candidates = nodes.select_columns([id_col, label_col, name_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    canon = candidates.groupby([label_col, name_col]).aggregate(Min(id_col, alias_name="canonical_id"))
+    # join members back to their group's canonical id
+    members = nodes.select_columns([id_col, label_col, name_col])
+    joined = members.join(
+        canon,
+        join_type="inner",
+        num_partitions=max(2, min(64, nodes.num_blocks())),
+        on=(label_col, name_col),
+    )
+    return joined.select_columns([id_col, "canonical_id"])
+
+
+def _driver_union_find(pairs: list[tuple[str, str]]) -> dict[str, str]:
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # deterministic: smaller id wins as root
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in list(parent)}
+
+
+def connected_components(
+    edges: rd.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 10,
+    driver_threshold: int = 2_000_000,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Return (node, component) with component = min node id reachable.
+
+    Distributed hash-min label propagation; falls back to driver-side
+    union-find when the edge set is small (post-LSH candidate graphs).
+    """
+    n_edges = edges.count()
+    if n_edges == 0:
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.string()), "component": pa.array([], pa.string())}))
+    if n_edges <= driver_threshold:
+        pairs = [(r[src_col], r[dst_col]) for r in edges.take_all()]
+        mapping = _driver_union_find(pairs)
+        nodes = sorted({x for p in pairs for x in p})
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(nodes, pa.string()),
+                    "component": pa.array([mapping.get(n, n) for n in nodes], pa.string()),
+                }
+            )
+        )
+
+    # Distributed path: undirected closure, labels start as node id.
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        a, b = batch.column(src_col), batch.column(dst_col)
+        return pa.table({"node": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
+                         "nbr": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()])})
+
+    und = edges.map_batches(to_pairs, batch_format="pyarrow")
+    labels = und.groupby("node").aggregate(Min("nbr", alias_name="component"))
+
+    def keep_min(batch: pa.Table) -> pa.Table:
+        comp = pc.min_element_wise(batch.column("component"), batch.column("node"))
+        return pa.table({"node": batch.column("node"), "component": comp})
+
+    labels = labels.map_batches(keep_min, batch_format="pyarrow")
+    for _ in range(max_rounds):
+        # message pass: neighbor's current component → each node
+        msgs = und.join(
+            labels, join_type="inner", num_partitions=num_partitions,
+            on=("nbr",), right_on=("node",), right_suffix="_r",
+        ).select_columns(["node", "component"])
+        self_msgs = labels
+        new_labels = (
+            msgs.union(self_msgs)
+            .groupby("node")
+            .aggregate(Min("component", alias_name="component"))
+        )
+        # convergence: stop when no label shrank this round
+        changed = (
+            new_labels.join(
+                labels, join_type="inner", num_partitions=num_partitions,
+                on=("node",), left_suffix="", right_suffix="_old",
+            )
+            .filter(lambda r: r["component"] != r["component_old"])
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -1,0 +1,173 @@
+"""Rule-based triple extractor — stateful actor-pool stage.
+
+Parity: the reference's LLM entity-relation extraction stage
+(``LLMEntityRelationExtractor`` wired at ``pipelines/kg_ingest.yaml:53-59``;
+per-chunk loop + retries ``src/fancyrag/kg/pipeline.py:687-736``) emits a
+per-chunk graph of schema-constrained nodes and relationships, stamped
+with provenance (``pipeline.py:568-611``). The deterministic core here is
+a rule/pattern extractor over the same closed-world schema
+(``scripts/config/kg_schema.json``) — exact reproducibility is what makes
+triple P/R scoring meaningful; an LLM-backed actor can implement the same
+``__call__`` contract.
+
+Output table (``triples``): doc_id, chunk_uid, chunk_seq, subj,
+subj_label, pred, obj, obj_label, props (JSON string — heterogeneous
+properties are JSON-stringified, the reference's sanitizer semantics at
+``pipeline.py:783-819``).
+
+Failure routing: rows whose extraction raises become rows in a
+``failures`` side-channel count (column ``n_failures`` accumulated per
+batch) instead of aborting the run — the QA gate thresholds them
+(reference ``semantic_max_retries`` + failure artifacts,
+``pipeline.py:706-723``).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import pyarrow as pa
+
+from ..schema import DEFAULT_SCHEMA, GraphSchema
+
+TRIPLE_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("chunk_uid", pa.string()),
+        ("chunk_seq", pa.int32()),
+        ("subj", pa.string()),
+        ("subj_label", pa.string()),
+        ("pred", pa.string()),
+        ("obj", pa.string()),
+        ("obj_label", pa.string()),
+        ("props", pa.string()),
+    ]
+)
+
+# Capitalized-phrase: first token must start with a capital letter;
+# follow tokens may be digit-initial ("Windows 11"-style names). No '.'
+# in the token class so a sentence boundary ("Corp. Acme…") can never
+# merge two names into one span.
+_NAME = r"[A-Z][A-Za-z0-9&-]*(?:\s+[A-Z0-9][A-Za-z0-9&-]*)*"
+_DATE = r"[A-Z][a-z]+ \d{1,2}, \d{4}"
+
+
+class RuleExtractor:
+    """Deterministic pattern extractor for the closed-world schema.
+
+    Rules (compiled once per actor in ``__init__``):
+      * ``«Company» launched «Product» on «date»`` → (Company, LAUNCHED,
+        Product) with the date as a JSON property — the reference pilot
+        corpus fact shape (``docs/samples/pilot.txt:1``).
+      * ``ingested by «Operator»`` → (Document=doc_id, INGESTED_BY,
+        Operator).
+    Out-of-schema patterns are dropped (closed world,
+    ``kg_schema.json:19-21``).
+    """
+
+    def __init__(self, schema: GraphSchema = DEFAULT_SCHEMA):
+        self.schema = schema
+        self.launched_re = re.compile(rf"\b({_NAME})\s+launched\s+({_NAME})\s+on\s+({_DATE})")
+        self.ingested_re = re.compile(rf"\bingested by\s+({_NAME})")
+
+    def _complete(self, text: str, chunk_seq: int, m: re.Match) -> bool:
+        """Chunk-overlap truncation guard. Chunks overlap by ≥ the max
+        sentence length, so any sentence cut by a chunk boundary appears
+        complete in an adjacent chunk. A match is kept only when its
+        sentence provably started inside this chunk (first chunk, or a
+        sentence delimiter precedes it) and it doesn't touch the chunk
+        end — truncated fragments would otherwise yield corrupt
+        subjects/objects AND their complete twin from the neighbor chunk."""
+        if m.end() >= len(text) or text[m.end()] != ".":
+            return False  # not sentence-final ⇒ possibly cut mid-phrase
+        if chunk_seq > 1 and text.rfind(". ", 0, m.start()) == -1:
+            return False
+        return True
+
+    def extract_text(self, doc_id: str, chunk_uid: str, chunk_seq: int, text: str) -> list[tuple]:
+        out = []
+        for m in self.launched_re.finditer(text):
+            if not self._complete(text, chunk_seq, m):
+                continue
+            subj, obj, date = m.group(1), m.group(2), m.group(3)
+            if self.schema.allows("Company", "LAUNCHED", "Product"):
+                out.append(
+                    (doc_id, chunk_uid, chunk_seq, subj, "Company", "LAUNCHED", obj, "Product",
+                     json.dumps({"date": date}, sort_keys=True))
+                )
+        for m in self.ingested_re.finditer(text):
+            if not self._complete(text, chunk_seq, m):
+                continue
+            if self.schema.allows("Document", "INGESTED_BY", "Operator"):
+                out.append(
+                    (doc_id, chunk_uid, chunk_seq, doc_id, "Document", "INGESTED_BY", m.group(1), "Operator", "{}")
+                )
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        uids = batch.column("chunk_uid").to_pylist()
+        seqs = batch.column("seq").to_pylist()
+        texts = batch.column("text").to_pylist()
+        rows: list[tuple] = []
+        n_failures = 0
+        for doc_id, uid, seq, text in zip(doc_ids, uids, seqs, texts):
+            try:
+                rows.extend(self.extract_text(str(doc_id), uid, int(seq), text or ""))
+            except Exception:
+                n_failures += 1  # failure-row routing, counted not raised
+        cols = list(zip(*rows)) if rows else [[] for _ in TRIPLE_SCHEMA]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(list(cols[0]), type=pa.string()),
+                "chunk_uid": pa.array(list(cols[1]), type=pa.string()),
+                "chunk_seq": pa.array(list(cols[2]), type=pa.int32()),
+                "subj": pa.array(list(cols[3]), type=pa.string()),
+                "subj_label": pa.array(list(cols[4]), type=pa.string()),
+                "pred": pa.array(list(cols[5]), type=pa.string()),
+                "obj": pa.array(list(cols[6]), type=pa.string()),
+                "obj_label": pa.array(list(cols[7]), type=pa.string()),
+                "props": pa.array(list(cols[8]), type=pa.string()),
+            }
+        )
+        if n_failures:
+            tbl = tbl.replace_schema_metadata({b"n_failures": str(n_failures).encode()})
+        return tbl
+
+
+class TermMentionExtractor:
+    """Vocabulary mention counter (NER-lite over a fixed term list).
+
+    Emits one row per (doc, term) with the whole-word occurrence count —
+    the mention-detection half of extraction, SQL-oracle-checkable with
+    DuckDB ``regexp_extract_all``. Regexes compiled once per actor.
+    """
+
+    DEFAULT_VOCAB = ("customer", "part", "supplier", "order", "table", "join", "merge", "vector")
+
+    def __init__(self, vocab: tuple[str, ...] = DEFAULT_VOCAB, text_col: str = "text", id_col: str = "doc_id"):
+        self.vocab = vocab
+        self.res = {t: re.compile(rf"\b{re.escape(t)}\b") for t in vocab}
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        o_id, o_term, o_n = [], [], []
+        for i, text in zip(ids, texts):
+            t = text or ""
+            for term, rx in self.res.items():
+                n = len(rx.findall(t))
+                if n:
+                    o_id.append(i)
+                    o_term.append(term)
+                    o_n.append(n)
+        return pa.table(
+            {
+                self.id_col: pa.array(o_id, type=batch.schema.field(self.id_col).type),
+                "term": pa.array(o_term, type=pa.string()),
+                "n_mentions": pa.array(o_n, type=pa.int64()),
+            }
+        )
