@@ -1,44 +1,130 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG-construction pipeline on sf0.001;
+``queries()`` exposes each implemented operator from SURVEY.md §2 over a
+given ``sf_dir``; ``oracle_sql()`` pairs each SQL-expressible query with
+its DuckDB equivalent (same column names/types — the driver compares
+row-count + schema + order-insensitive value-hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in ``fancyrag_ray``) calls ``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:  # make fancyrag_ray importable for driver + Ray workers
+    sys.path.insert(0, _REPO)
+os.environ.setdefault("PYTHONPATH", _REPO)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: documents → interleave → chunk → extract (patterns +
+    term co-occurrence) → link → canonical nodes/edges; returns the
+    deduplicated edge table (≥0 rows, stable schema)."""
+    import ray.data as rd
+
+    from fancyrag_ray.config import PipelineConfig
+    from fancyrag_ray.pipelines.kg_build import run_kg_build
+    from fancyrag_ray.sources.io import interleave_documents
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"])
+    inter = docs.map_batches(interleave_documents, batch_format="pyarrow")
+    result = run_kg_build(inter, alias_table=None, cfg=PipelineConfig(), emit_cooccurrence=True)
+    return result.edges
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from fancyrag_ray.functions import relational as R
+    from fancyrag_ray.functions import similarity as S
+    from fancyrag_ray.functions import textops as T
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def near_dup_minhash(sf_dir: str):
+        import ray.data as rd
+
+        from fancyrag_ray.functions.dedup import minhash_lsh_duplicates
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        return minhash_lsh_duplicates(docs)
+
+    def near_dup_simhash(sf_dir: str):
+        import ray.data as rd
+
+        from fancyrag_ray.functions.dedup import simhash_duplicates
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        return simhash_duplicates(docs)
+
+    def kg_flagship_edges(sf_dir: str):
+        import ray.data as rd
+
+        from fancyrag_ray.config import PipelineConfig
+        from fancyrag_ray.pipelines.kg_build import run_kg_build
+        from fancyrag_ray.sources.io import interleave_documents
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        inter = docs.map_batches(interleave_documents, batch_format="pyarrow")
+        return run_kg_build(inter, alias_table=None, emit_cooccurrence=True).edges
+
+    return {
+        # relational / aggregation / join / sort / window (SURVEY §2.4-2.6)
+        "pricing_summary": R.pricing_summary,
+        "revenue_by_nation": R.revenue_by_nation,
+        "topk_orders": R.topk_orders,
+        "customers_without_orders": R.customers_without_orders,
+        "events_hourly": R.events_hourly,
+        "events_by_type": R.events_by_type,
+        "high_value_open_orders": R.high_value_open_orders,
+        "supplier_balance_by_region": R.supplier_balance_by_region,
+        "distinct_order_priorities": R.distinct_order_priorities,
+        # KG per-document stages (SURVEY §2.1-2.3, §2.7-2.8)
+        "chunk_documents": T.chunk_documents,
+        "token_stats_by_source": T.token_stats_by_source,
+        "token_histogram": T.token_histogram,
+        "term_mentions": T.term_mentions,
+        "cooccurrence_edges": T.cooccurrence_edges,
+        "dedup_exact": T.dedup_exact,
+        "quality_scores": T.quality_scores,
+        "doc_rollup": T.doc_rollup,
+        # similarity search
+        "knn_cosine": S.knn_cosine,
+        "knn_cosine_lsh": S.knn_cosine_lsh,
+        "embedding_near_duplicates": S.embedding_near_duplicates,
+        # near-dup dedup (no SQL oracle: iterative/sketch-based)
+        "near_dup_minhash": near_dup_minhash,
+        "near_dup_simhash": near_dup_simhash,
+        # flagship end-to-end on driver data (no SQL oracle: multi-stage)
+        "kg_flagship_edges": kg_flagship_edges,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from fancyrag_ray.functions import relational as R
+    from fancyrag_ray.functions import similarity as S
+    from fancyrag_ray.functions import textops as T
+
+    return {
+        "pricing_summary": R.PRICING_SUMMARY_SQL,
+        "revenue_by_nation": R.REVENUE_BY_NATION_SQL,
+        "topk_orders": R.TOPK_ORDERS_SQL,
+        "customers_without_orders": R.CUSTOMERS_WITHOUT_ORDERS_SQL,
+        "events_hourly": R.EVENTS_HOURLY_SQL,
+        "events_by_type": R.EVENTS_BY_TYPE_SQL,
+        "high_value_open_orders": R.HIGH_VALUE_OPEN_ORDERS_SQL,
+        "supplier_balance_by_region": R.SUPPLIER_BALANCE_BY_REGION_SQL,
+        "distinct_order_priorities": R.DISTINCT_ORDER_PRIORITIES_SQL,
+        "chunk_documents": T.CHUNK_DOCUMENTS_SQL,
+        "token_stats_by_source": T.TOKEN_STATS_BY_SOURCE_SQL,
+        "token_histogram": T.TOKEN_HISTOGRAM_SQL,
+        "term_mentions": T.TERM_MENTIONS_SQL,
+        "cooccurrence_edges": T.COOCCURRENCE_EDGES_SQL,
+        "dedup_exact": T.DEDUP_EXACT_SQL,
+        "quality_scores": T.QUALITY_SCORES_SQL,
+        "doc_rollup": T.DOC_ROLLUP_SQL,
+        "knn_cosine": S.KNN_COSINE_SQL,
+    }

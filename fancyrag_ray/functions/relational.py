@@ -1,0 +1,288 @@
+"""Relational operators over the TPC-H-ish testdata tables, Ray-Data-first.
+
+Each function takes ``sf_dir`` and returns a Dataset whose rows/columns
+match its DuckDB oracle in ``__ray_entry__.oracle_sql`` exactly.
+
+Scale/determinism notes:
+  * reads prune columns at the source (`columns=[...]`);
+  * aggregations pre-combine per block (pyarrow ``group_by`` inside
+    ``map_batches``) before the global groupby — one row per key per
+    block crosses the shuffle, so hot keys cost O(blocks), not O(rows);
+  * big⋈big joins use hash-partitioned ``Dataset.join``; small sides
+    (nation/region/customer at test scale) broadcast as dicts inside
+    ``map_batches`` — no shuffle;
+  * float sums are rounded at the *grid precision* of the underlying
+    discrete values (prices 2dp, discount products 4dp), so distributed
+    accumulation order can never flip a rounding boundary and results
+    are bit-stable vs the SQL oracle;
+  * derived ratios (avg) are computed from the already-rounded sums so
+    both sides perform the identical IEEE division.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def pricing_summary(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q1-shaped grouped aggregate over lineitem."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        t = t.append_column("disc_price", disc)
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"), ("disc_price", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "sum_disc_price", "count_order"]
+        )
+
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price", alias_name="sum_base_price"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        sq = pc.round(t.column("sum_qty"), 2)
+        sb = pc.round(t.column("sum_base_price"), 2)
+        sd = pc.round(t.column("sum_disc_price"), 4)
+        cnt = t.column("count_order").cast(pa.float64())
+        avg = pc.round(pc.divide(sq, cnt), 6)
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "sum_qty": sq,
+                "sum_base_price": sb,
+                "sum_disc_price": sd,
+                "avg_qty": avg,
+                "count_order": t.column("count_order"),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                        AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                   AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       ROUND(ROUND(SUM(l_quantity), 2) / COUNT(*), 6)   AS avg_qty,
+       COUNT(*)                                          AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def revenue_by_nation(sf_dir: str) -> rd.Dataset:
+    """lineitem ⋈ orders (hash join, both large) ⋈ customer ⋈ nation
+    (broadcast small sides): revenue per nation name."""
+    # small sides → plain dicts shipped once in the closure (at real
+    # scale: ray.put + lookup in an actor's __init__)
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    cust_to_nation = dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist()))
+    nation_name = dict(zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist()))
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = li.join(
+        orders, join_type="inner", num_partitions=16,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        custkeys = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        names = [nation_name[cust_to_nation[int(k)]] for k in custkeys]
+        pt = pa.table({"n_name": pa.array(names, pa.string()), "revenue": rev})
+        g = pt.group_by(["n_name"]).aggregate([("revenue", "sum")])
+        return g.rename_columns(["n_name", "revenue"])
+
+    out = joined.map_batches(partial, batch_format="pyarrow").groupby("n_name").aggregate(
+        Sum("revenue", alias_name="revenue")
+    )
+    return out.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("revenue"), "revenue", pc.round(t.column("revenue"), 4)),
+        batch_format="pyarrow",
+    )
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def topk_orders(sf_dir: str, k: int = 10) -> rd.Dataset:
+    """Top-k orders by total price (distributed sort + limit)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
+
+
+TOPK_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def customers_without_orders(sf_dir: str, min_total: float = 300000.0) -> rd.Dataset:
+    """Anti-join (QA orphan-count parity, SURVEY §2.4): customers with no
+    order above ``min_total`` (filtered right side pushed before the
+    shuffle)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t.column("o_totalprice"), pa.scalar(min_total))).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    return cust.join(
+        orders, join_type="left_anti", num_partitions=8,
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+"""
+
+
+def events_hourly(sf_dir: str) -> rd.Dataset:
+    """Tumbling-window aggregate (streaming-shaped op → batch groupby):
+    per (user, hour) event count and value sum."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t.column("ts"), unit="hour")
+        pt = pa.table({"user_id": t.column("user_id"), "hour": hour, "value": t.column("value")})
+        g = pt.group_by(["user_id", "hour"]).aggregate([([], "count_all"), ("value", "sum")])
+        return g.rename_columns(["user_id", "hour", "n_events", "sum_value"])
+
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby(["user_id", "hour"]).aggregate(
+        Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value")
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("sum_value"), "sum_value", pc.round(t.column("sum_value"), 2)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT user_id, date_trunc('hour', ts) AS hour,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY user_id, date_trunc('hour', ts)
+"""
+
+
+def events_by_type(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type"]).aggregate([([], "count_all"), ("value", "sum")])
+        return g.rename_columns(["event_type", "n_events", "sum_value"])
+
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby("event_type").aggregate(
+        Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value")
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("sum_value"), "sum_value", pc.round(t.column("sum_value"), 2)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+EVENTS_BY_TYPE_SQL = """
+SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def high_value_open_orders(sf_dir: str) -> rd.Dataset:
+    """Vectorized filter + projection (no shuffle)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"])
+
+    def f(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater(t.column("o_totalprice"), pa.scalar(150000.0)),
+            pc.equal(t.column("o_orderstatus"), pa.scalar("O")),
+        )
+        return t.filter(mask).select(["o_orderkey", "o_totalprice", "o_orderpriority"])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+HIGH_VALUE_OPEN_ORDERS_SQL = """
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders WHERE o_totalprice > 150000.0 AND o_orderstatus = 'O'
+"""
+
+
+def supplier_balance_by_region(sf_dir: str) -> rd.Dataset:
+    """Broadcast dimension-chain join supplier→nation→region."""
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    n2r = dict(zip(nation.column("n_nationkey").to_pylist(), nation.column("n_regionkey").to_pylist()))
+    rname = dict(zip(region.column("r_regionkey").to_pylist(), region.column("r_name").to_pylist()))
+    ds = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t.column("s_nationkey").to_numpy(zero_copy_only=False)
+        names = [rname[n2r[int(k)]] for k in keys]
+        pt = pa.table({"r_name": pa.array(names, pa.string()), "s_acctbal": t.column("s_acctbal")})
+        g = pt.group_by(["r_name"]).aggregate([([], "count_all"), ("s_acctbal", "sum")])
+        return g.rename_columns(["r_name", "n_suppliers", "total_acctbal"])
+
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby("r_name").aggregate(
+        Sum("n_suppliers", alias_name="n_suppliers"), Sum("total_acctbal", alias_name="total_acctbal")
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("total_acctbal"), "total_acctbal", pc.round(t.column("total_acctbal"), 2)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SUPPLIER_BALANCE_BY_REGION_SQL = """
+SELECT r_name, COUNT(*) AS n_suppliers, ROUND(SUM(s_acctbal), 2) AS total_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def distinct_order_priorities(sf_dir: str) -> rd.Dataset:
+    """Distinct values (set-op / D2 parity)."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_orderpriority"]).aggregate([])
+        return g
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby("o_orderpriority").aggregate(
+        Count(alias_name="_n")
+    ).select_columns(["o_orderpriority"])
+
+
+DISTINCT_ORDER_PRIORITIES_SQL = "SELECT DISTINCT o_orderpriority FROM orders"

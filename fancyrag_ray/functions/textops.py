@@ -1,0 +1,276 @@
+"""Text / document operators over the driver ``documents`` table —
+the KG pipeline's per-document stages in SQL-oracle-checkable form.
+
+All functions take ``sf_dir`` and return a Dataset matching the paired
+DuckDB oracle (``__ray_entry__.oracle_sql``). The chunker here runs the
+*exact* boundary profile (600/100, no word-boundary nudge) so the split
+is reproducible in SQL via ``generate_series`` + ``substr``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..config import PROFILES
+from ..sources.io import interleave_documents
+from ..stages.chunker import chunk_batch
+from ..stages.extractor import TermMentionExtractor
+
+
+def _read_docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def chunk_documents(sf_dir: str) -> rd.Dataset:
+    """Fixed-size 600/100 exact split of every document (M2-M4 parity:
+    1-based seq, sha256 checksum, deterministic content-hash uid)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        out = chunk_batch(interleave_documents(t), PROFILES["text-exact"])
+        return out.select(["doc_id", "seq", "index", "text", "checksum", "chunk_uid", "offset_start", "offset_end"])
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=1024)
+
+
+CHUNK_DOCUMENTS_SQL = """
+WITH n AS (
+  SELECT doc_id, text,
+         CAST(CEIL(GREATEST(1, LENGTH(text) - 100) / 500.0) AS INTEGER) AS n_chunks
+  FROM documents
+), e AS (
+  SELECT doc_id, text, UNNEST(generate_series(0, n_chunks - 1)) AS i FROM n
+)
+SELECT doc_id,
+       CAST(i + 1 AS INTEGER)                       AS seq,
+       CAST(i AS INTEGER)                           AS "index",
+       SUBSTR(text, i * 500 + 1, 600)               AS text,
+       SHA256(SUBSTR(text, i * 500 + 1, 600))       AS checksum,
+       SHA256(CAST(doc_id AS VARCHAR) || ':' || CAST(i + 1 AS VARCHAR) || ':' ||
+              SUBSTR(text, i * 500 + 1, 600))       AS chunk_uid,
+       CAST(i * 500 AS INTEGER)                     AS offset_start,
+       CAST(LEAST(i * 500 + 600, LENGTH(text)) AS INTEGER) AS offset_end
+FROM e
+"""
+
+
+def token_stats_by_source(sf_dir: str) -> rd.Dataset:
+    """G6 parity: per source, doc count + token-estimate totals where
+    token estimate = max(1, ceil(len/4)) (reference evaluator.py:352-358)."""
+    ds = _read_docs(sf_dir, ["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = pc.utf8_length(t.column("text")).cast(pa.float64())
+        toks = pc.max_element_wise(pc.ceil(pc.divide(n, pa.scalar(4.0))), pa.scalar(1.0)).cast(pa.int64())
+        pt = pa.table({"source": t.column("source"), "tokens": toks})
+        g = pt.group_by(["source"]).aggregate([([], "count_all"), ("tokens", "sum"), ("tokens", "max")])
+        return g.rename_columns(["source", "n_docs", "total_tokens", "max_tokens"])
+
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby("source").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("total_tokens", alias_name="total_tokens"),
+        Max("max_tokens", alias_name="max_tokens"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        mean = pc.round(
+            pc.divide(t.column("total_tokens").cast(pa.float64()), t.column("n_docs").cast(pa.float64())), 6
+        )
+        return t.append_column("mean_tokens", mean)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+TOKEN_STATS_BY_SOURCE_SQL = """
+WITH d AS (
+  SELECT source, GREATEST(1, CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT)) AS tokens
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs, SUM(tokens) AS total_tokens, MAX(tokens) AS max_tokens,
+       ROUND(CAST(SUM(tokens) AS DOUBLE) / COUNT(*), 6) AS mean_tokens
+FROM d GROUP BY source
+"""
+
+_HIST_EDGES = [64, 128, 256, 512, 1024, 2048]
+
+
+def token_histogram(sf_dir: str) -> rd.Dataset:
+    """G7 parity: doc counts bucketed by token estimate at the reference's
+    bin edges (evaluator.py:94,324-358)."""
+    ds = _read_docs(sf_dir, ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = pc.utf8_length(t.column("text")).cast(pa.float64())
+        toks = pc.max_element_wise(pc.ceil(pc.divide(n, pa.scalar(4.0))), pa.scalar(1.0)).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(np.array(_HIST_EDGES, dtype=np.float64), toks, side="left")
+        labels = [f"<={e}" for e in _HIST_EDGES] + [">2048"]
+        lab = np.array(labels, dtype=object)[idx]
+        pt = pa.table({"bucket": pa.array(lab, pa.string())})
+        g = pt.group_by(["bucket"]).aggregate([([], "count_all")])
+        return g.rename_columns(["bucket", "n_docs"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+
+TOKEN_HISTOGRAM_SQL = """
+WITH d AS (
+  SELECT GREATEST(1, CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT)) AS tokens FROM documents
+)
+SELECT CASE WHEN tokens <= 64 THEN '<=64' WHEN tokens <= 128 THEN '<=128'
+            WHEN tokens <= 256 THEN '<=256' WHEN tokens <= 512 THEN '<=512'
+            WHEN tokens <= 1024 THEN '<=1024' WHEN tokens <= 2048 THEN '<=2048'
+            ELSE '>2048' END AS bucket,
+       COUNT(*) AS n_docs
+FROM d GROUP BY 1
+"""
+
+
+def term_mentions(sf_dir: str) -> rd.Dataset:
+    """Vocabulary mention detection (NER-lite, actor pool with compiled
+    regexes): whole-word occurrence counts per (doc, term)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        TermMentionExtractor, batch_format="pyarrow", batch_size=2048, concurrency=(1, 4), num_cpus=1
+    )
+
+
+def _mentions_sql() -> str:
+    vocab = TermMentionExtractor.DEFAULT_VOCAB
+    sel = " UNION ALL ".join(
+        f"SELECT doc_id, '{t}' AS term, LEN(regexp_extract_all(text, '\\b{t}\\b')) AS n_mentions FROM documents"
+        for t in vocab
+    )
+    return f"SELECT * FROM ({sel}) WHERE n_mentions > 0"
+
+
+TERM_MENTIONS_SQL = _mentions_sql()
+
+
+def cooccurrence_edges(sf_dir: str) -> rd.Dataset:
+    """Doc-level term co-occurrence graph (relation-extraction shape):
+    for each unordered vocab-term pair, the number of docs mentioning
+    both. Pairs are emitted per batch then sum-reduced — the edge-dedup
+    shuffle of the KG materializer in miniature."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    extractor = TermMentionExtractor()
+
+    def pairs(t: pa.Table) -> pa.Table:
+        m = extractor(t)
+        # per-doc distinct terms → unordered pairs
+        by_doc: dict = {}
+        for d, term in zip(m.column("doc_id").to_pylist(), m.column("term").to_pylist()):
+            by_doc.setdefault(d, []).append(term)
+        t1, t2 = [], []
+        for terms in by_doc.values():
+            terms = sorted(set(terms))
+            for i in range(len(terms)):
+                for j in range(i + 1, len(terms)):
+                    t1.append(terms[i])
+                    t2.append(terms[j])
+        pt = pa.table({"term_a": pa.array(t1, pa.string()), "term_b": pa.array(t2, pa.string())})
+        g = pt.group_by(["term_a", "term_b"]).aggregate([([], "count_all")])
+        return g.rename_columns(["term_a", "term_b", "n_docs"])
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=2048)
+        .groupby(["term_a", "term_b"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+
+COOCCURRENCE_EDGES_SQL = f"""
+WITH mentions AS ({_mentions_sql()})
+SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS n_docs
+FROM mentions a JOIN mentions b ON a.doc_id = b.doc_id AND a.term < b.term
+GROUP BY a.term, b.term
+"""
+
+
+def dedup_exact(sf_dir: str) -> rd.Dataset:
+    """Exact dedup (hash-partition by content, keep min doc_id per group)
+    — the D3/D4 MERGE-upsert reduction over raw text."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        digests = [hashlib.sha256(x.encode()).hexdigest() for x in t.column("text").to_pylist()]
+        pt = pa.table({"fp": pa.array(digests, pa.string()), "doc_id": t.column("doc_id")})
+        g = pt.group_by(["fp"]).aggregate([("doc_id", "min"), ([], "count_all")])
+        return g.rename_columns(["fp", "doc_id", "group_size"])
+
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby("fp").aggregate(
+        Min("doc_id", alias_name="doc_id"), Sum("group_size", alias_name="group_size")
+    )
+    return out.select_columns(["fp", "doc_id", "group_size"])
+
+
+DEDUP_EXACT_SQL = """
+SELECT SHA256(text) AS fp, MIN(doc_id) AS doc_id, COUNT(*) AS group_size
+FROM documents GROUP BY SHA256(text)
+"""
+
+
+def quality_scores(sf_dir: str) -> rd.Dataset:
+    """Per-doc quality features (integer-exact for oracle comparability):
+    char count, whitespace-token count, stopword count, punctuation count."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t.column("text")
+        n_chars = pc.utf8_length(texts).cast(pa.int64())
+        n_tokens = pc.list_value_length(pc.split_pattern(texts, " ")).cast(pa.int64())
+        n_stop = pc.add(
+            pc.count_substring_regex(texts, r"\bthe\b"), pc.count_substring_regex(texts, r"\ba\b")
+        ).cast(pa.int64())
+        n_punct = pc.count_substring_regex(texts, r"[.,;:!?]").cast(pa.int64())
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_chars": n_chars,
+                "n_tokens": n_tokens,
+                "n_stopwords": n_stop,
+                "n_punct": n_punct,
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+QUALITY_SCORES_SQL = """
+SELECT doc_id,
+       LENGTH(text) AS n_chars,
+       LEN(string_split(text, ' ')) AS n_tokens,
+       LEN(regexp_extract_all(text, '\\bthe\\b')) + LEN(regexp_extract_all(text, '\\ba\\b')) AS n_stopwords,
+       LEN(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+FROM documents
+"""
+
+
+def doc_rollup(sf_dir: str) -> rd.Dataset:
+    """G9 parity: per-doc chunk counts via the exact chunk-count formula."""
+    ds = _read_docs(sf_dir, ["doc_id", "text", "n_chars"])
+
+    def f(t: pa.Table) -> pa.Table:
+        n = pc.utf8_length(t.column("text")).cast(pa.float64())
+        nch = pc.ceil(
+            pc.divide(pc.max_element_wise(pc.subtract(n, pa.scalar(100.0)), pa.scalar(1.0)), pa.scalar(500.0))
+        ).cast(pa.int64())
+        return pa.table({"doc_id": t.column("doc_id"), "n_chars": t.column("n_chars"), "n_chunks": nch})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+DOC_ROLLUP_SQL = """
+SELECT doc_id, n_chars,
+       CAST(CEIL(GREATEST(1, LENGTH(text) - 100) / 500.0) AS BIGINT) AS n_chunks
+FROM documents
+"""

@@ -67,10 +67,15 @@ def build_embeddings(chunks: rd.Dataset, cfg: PipelineConfig) -> rd.Dataset:
     )
 
 
-def build_triples(chunks: rd.Dataset, cfg: PipelineConfig, schema: GraphSchema = DEFAULT_SCHEMA) -> rd.Dataset:
+def build_triples(
+    chunks: rd.Dataset,
+    cfg: PipelineConfig,
+    schema: GraphSchema = DEFAULT_SCHEMA,
+    emit_cooccurrence: bool = False,
+) -> rd.Dataset:
     return chunks.select_columns(["doc_id", "chunk_uid", "seq", "text"]).map_batches(
         RuleExtractor,
-        fn_constructor_kwargs={"schema": schema},
+        fn_constructor_kwargs={"schema": schema, "emit_cooccurrence": emit_cooccurrence},
         batch_format="pyarrow",
         batch_size=cfg.extract_batch_size,
         concurrency=(1, cfg.extract_concurrency),
@@ -96,6 +101,7 @@ def run_kg_build(
     alias_table: pa.Table | None = None,
     cfg: PipelineConfig | None = None,
     schema: GraphSchema = DEFAULT_SCHEMA,
+    emit_cooccurrence: bool = False,
 ) -> KgBuildResult:
     """Single-pass flagship build. ``docs`` is a Dataset in the interleaved
     shape (doc_id, spans) or a path to one."""
@@ -104,7 +110,7 @@ def run_kg_build(
         docs = read_table(docs)
     chunks = build_chunks(docs, cfg)
     embeddings = build_embeddings(chunks, cfg)
-    triples = build_triples(chunks, cfg, schema)
+    triples = build_triples(chunks, cfg, schema, emit_cooccurrence=emit_cooccurrence)
     linked = link_triples(triples, alias_table, cfg)
     nodes = nodes_from_linked_triples(linked)
     edges = edges_from_linked_triples(linked)

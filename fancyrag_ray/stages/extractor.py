@@ -66,10 +66,17 @@ class RuleExtractor:
     ``kg_schema.json:19-21``).
     """
 
-    def __init__(self, schema: GraphSchema = DEFAULT_SCHEMA):
+    def __init__(self, schema: GraphSchema = DEFAULT_SCHEMA, emit_cooccurrence: bool = False,
+                 vocab: tuple[str, ...] = ()):
         self.schema = schema
         self.launched_re = re.compile(rf"\b({_NAME})\s+launched\s+({_NAME})\s+on\s+({_DATE})")
         self.ingested_re = re.compile(rf"\bingested by\s+({_NAME})")
+        # opt-in: (Term, CO_OCCURS, Term) triples for vocab terms sharing a
+        # chunk — gives the pipeline extraction work on corpora without
+        # pattern facts (e.g. the driver testdata documents).
+        self.emit_cooccurrence = emit_cooccurrence
+        v = vocab or TermMentionExtractor.DEFAULT_VOCAB
+        self.vocab_res = {t: re.compile(rf"\b{re.escape(t)}\b") for t in v} if emit_cooccurrence else {}
 
     def _complete(self, text: str, chunk_seq: int, m: re.Match) -> bool:
         """Chunk-overlap truncation guard. Chunks overlap by ≥ the max
@@ -103,6 +110,13 @@ class RuleExtractor:
                 out.append(
                     (doc_id, chunk_uid, chunk_seq, doc_id, "Document", "INGESTED_BY", m.group(1), "Operator", "{}")
                 )
+        if self.emit_cooccurrence and self.schema.allows("Term", "CO_OCCURS", "Term"):
+            present = sorted(t for t, rx in self.vocab_res.items() if rx.search(text))
+            for i in range(len(present)):
+                for j in range(i + 1, len(present)):
+                    out.append(
+                        (doc_id, chunk_uid, chunk_seq, present[i], "Term", "CO_OCCURS", present[j], "Term", "{}")
+                    )
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
