@@ -95,7 +95,37 @@ def minhash_lsh_duplicates(
 
     bands = docs.select_columns([id_col, text_col]).map_batches(
         BandEmitter, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4)
+    ).materialize()  # consumed twice: bucket-size scan + filtered pair walk
+
+    # Bucket-size prefilter: near-dup buckets are sparse, so find the
+    # multi-member (band, band_hash) keys with a cheap count aggregate,
+    # broadcast that small set, and run the O(n²) pair verification ONLY
+    # on rows in those buckets. Without this, map_groups pays a Python
+    # call per bucket across millions of singleton buckets.
+    from ray.data.aggregate import Count as _Count
+
+    counts = (
+        bands.select_columns(["band", "band_hash"])
+        .groupby(["band", "band_hash"])
+        .aggregate(_Count(alias_name="n"))
     )
+    hot = counts.map_batches(
+        lambda t: t.filter(pa.compute.greater(t.column("n"), pa.scalar(1))).select(["band", "band_hash"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    hot_keys = set(zip(hot["band"].tolist(), hot["band_hash"].tolist()))
+    if not hot_keys:
+        return rd.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.string()), "keep": pa.array([], pa.string())})
+        )
+
+    def only_hot(t: pa.Table) -> pa.Table:
+        b = t.column("band").to_pylist()
+        h = t.column("band_hash").to_pylist()
+        mask = pa.array([(x, y) in hot_keys for x, y in zip(b, h)], pa.bool_())
+        return t.filter(mask)
+
+    bands = bands.map_batches(only_hot, batch_format="pyarrow")
 
     def candidate_pairs(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) < 2:
@@ -180,7 +210,36 @@ def simhash_duplicates(
 
     bands = docs.select_columns([id_col, text_col]).map_batches(
         Emit, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4)
-    )
+    ).materialize()
+
+    # same bucket-size prefilter as MinHash-LSH: only multi-member
+    # (band, key) buckets reach the per-bucket pair check
+    from ray.data.aggregate import Count as _Count
+
+    counts = bands.select_columns(["band", "key"]).groupby(["band", "key"]).aggregate(_Count(alias_name="n"))
+    hot = counts.map_batches(
+        lambda t: t.filter(pa.compute.greater(t.column("n"), pa.scalar(1))).select(["band", "key"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    hot_keys = set(zip(hot["band"].tolist(), hot["key"].tolist()))
+    if not hot_keys:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([], pa.string()),
+                    "doc_b": pa.array([], pa.string()),
+                    "hamming": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    def only_hot(t: pa.Table) -> pa.Table:
+        b = t.column("band").to_pylist()
+        k = t.column("key").to_pylist()
+        mask = pa.array([(x, y) in hot_keys for x, y in zip(b, k)], pa.bool_())
+        return t.filter(mask)
+
+    bands = bands.map_batches(only_hot, batch_format="pyarrow")
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_d = [], [], []

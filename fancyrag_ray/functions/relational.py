@@ -28,6 +28,8 @@ import pyarrow.parquet as pq
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
+from ..util import adaptive_partitions
+
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
@@ -88,34 +90,77 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
-def revenue_by_nation(sf_dir: str) -> rd.Dataset:
-    """lineitem ⋈ orders (hash join, both large) ⋈ customer ⋈ nation
-    (broadcast small sides): revenue per nation name."""
-    # small sides → plain dicts shipped once in the closure (at real
-    # scale: ray.put + lookup in an actor's __init__)
+def revenue_by_nation(sf_dir: str, broadcast_join: bool = True) -> rd.Dataset:
+    """lineitem ⋈ orders ⋈ customer ⋈ nation: revenue per nation name.
+
+    Default path is a vectorized map-side broadcast join: the dimension
+    chain orders→customer→nation collapses to a sorted (o_orderkey →
+    nation_code) array pair shipped once (``ray.put``) and probed with
+    ``np.searchsorted`` per batch — no shuffle on the fact table; the
+    only exchange is 25 partial rows per block. Valid while the orders
+    keymap fits worker memory (8 B × 2 × |orders|); beyond that set
+    ``broadcast_join=False`` for the hash-partitioned ``Dataset.join``.
+    """
+    import ray
+
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
     cust_to_nation = dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist()))
-    nation_name = dict(zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist()))
+    nation_codes = nation.column("n_nationkey").to_numpy()
+    nation_names = nation.column("n_name").to_pylist()
+    code_to_idx = np.full(int(nation_codes.max()) + 1, -1, dtype=np.int32)
+    code_to_idx[nation_codes] = np.arange(len(nation_names), dtype=np.int32)
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    joined = li.join(
-        orders, join_type="inner", num_partitions=16,
-        on=("l_orderkey",), right_on=("o_orderkey",),
-    )
 
-    def partial(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount")))
-        custkeys = t.column("o_custkey").to_numpy(zero_copy_only=False)
-        names = [nation_name[cust_to_nation[int(k)]] for k in custkeys]
-        pt = pa.table({"n_name": pa.array(names, pa.string()), "revenue": rev})
-        g = pt.group_by(["n_name"]).aggregate([("revenue", "sum")])
-        return g.rename_columns(["n_name", "revenue"])
+    if broadcast_join:
+        orders_t = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+        okeys = orders_t.column("o_orderkey").to_numpy()
+        onation = code_to_idx[
+            np.array([cust_to_nation[int(c)] for c in orders_t.column("o_custkey").to_numpy()], dtype=np.int64)
+        ]
+        order_sort = np.argsort(okeys)
+        keymap_ref = ray.put((okeys[order_sort], onation[order_sort]))
 
-    out = joined.map_batches(partial, batch_format="pyarrow").groupby("n_name").aggregate(
-        Sum("revenue", alias_name="revenue")
-    )
+        def partial(t: pa.Table) -> pa.Table:
+            keys_sorted, nation_idx = ray.get(keymap_ref)
+            rev = pc.multiply(
+                t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
+            ).to_numpy()
+            lk = t.column("l_orderkey").to_numpy()
+            pos = np.searchsorted(keys_sorted, lk)
+            codes = nation_idx[pos]
+            sums = np.bincount(codes, weights=rev, minlength=len(nation_names))
+            nz = np.flatnonzero(sums)
+            return pa.table(
+                {
+                    "n_name": pa.array([nation_names[i] for i in nz], pa.string()),
+                    "revenue": pa.array(sums[nz], pa.float64()),
+                }
+            )
+
+        out = li.map_batches(partial, batch_format="pyarrow").groupby("n_name").aggregate(
+            Sum("revenue", alias_name="revenue")
+        )
+    else:
+        nation_name = dict(zip(nation_codes.tolist(), nation_names))
+        orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        joined = li.join(
+            orders, join_type="inner", num_partitions=adaptive_partitions(16),
+            on=("l_orderkey",), right_on=("o_orderkey",),
+        )
+
+        def partial_join(t: pa.Table) -> pa.Table:
+            rev = pc.multiply(t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+            custkeys = t.column("o_custkey").to_numpy(zero_copy_only=False)
+            names = [nation_name[cust_to_nation[int(k)]] for k in custkeys]
+            pt = pa.table({"n_name": pa.array(names, pa.string()), "revenue": rev})
+            g = pt.group_by(["n_name"]).aggregate([("revenue", "sum")])
+            return g.rename_columns(["n_name", "revenue"])
+
+        out = joined.map_batches(partial_join, batch_format="pyarrow").groupby("n_name").aggregate(
+            Sum("revenue", alias_name="revenue")
+        )
     return out.map_batches(
         lambda t: t.set_column(t.schema.get_field_index("revenue"), "revenue", pc.round(t.column("revenue"), 4)),
         batch_format="pyarrow",
@@ -154,7 +199,7 @@ def customers_without_orders(sf_dir: str, min_total: float = 300000.0) -> rd.Dat
         batch_format="pyarrow",
     )
     return cust.join(
-        orders, join_type="left_anti", num_partitions=8,
+        orders, join_type="left_anti", num_partitions=adaptive_partitions(8),
         on=("c_custkey",), right_on=("o_custkey",),
     )
 

@@ -1,0 +1,145 @@
+"""Retrieval / serving surface over the emitted tables.
+
+Parity (SURVEY §2.11): the reference's hybrid retriever joins vector
+top-k with fulltext top-k per element id, max-normalizes each score list
+(0-safe, ``runtime.py:53-60``), combines, and enriches hits with the
+semantic entity neighborhood (``ask_qdrant.py:248-367``). Here the same
+queries run against the pipeline's chunk/embedding/node/edge tables:
+
+  vector_topk    O3 — brute-force cosine (exact; per-block partial top-k,
+                 tiny global sort); the LSH/IVF path lives in
+                 functions.similarity
+  fulltext_topk  O4 — deterministic term-frequency scoring (no index)
+  hybrid_search  J4 — outer join of the two k-row score tables on
+                 chunk_uid, missing side → 0.0, driver-side (k rows)
+  semantic_context J5 — semi-join of linked triples against hit uids
+                 (broadcast small side)
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..stages.embedder import HashEmbedder
+
+
+def vector_topk(embeddings: rd.Dataset, query: np.ndarray, k: int = 5, id_col: str = "chunk_uid") -> pd.DataFrame:
+    qn = query.astype(np.float64)
+    n = np.linalg.norm(qn)
+    if n > 0:
+        qn /= n
+
+    from ..functions.similarity import _embedding_matrix
+
+    def local(t: pa.Table) -> pa.Table:
+        m = _embedding_matrix(t).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        scores = (m @ qn) / norms
+        take = min(k, len(scores))
+        sel = np.argpartition(-scores, take - 1)[:take] if take else np.array([], dtype=int)
+        return pa.table({id_col: t.column(id_col).take(pa.array(sel)), "score_vector": pa.array(scores[sel])})
+
+    out = (
+        embeddings.map_batches(local, batch_format="pyarrow", batch_size=4096)
+        .sort(["score_vector", id_col], descending=[True, False])
+        .limit(k)
+    )
+    return _ensure_cols(out.to_pandas(), id_col, "score_vector")
+
+
+def fulltext_topk(chunks: rd.Dataset, query_text: str, k: int = 5, id_col: str = "chunk_uid") -> pd.DataFrame:
+    terms = [t for t in re.findall(r"[a-z0-9]+", query_text.lower()) if len(t) > 1]
+    if not terms:
+        return pd.DataFrame({id_col: pd.Series(dtype=object), "score_fulltext": pd.Series(dtype=float)})
+    res = [re.compile(rf"\b{re.escape(t)}\b") for t in terms]
+
+    def local(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        scores = np.array([sum(len(rx.findall((x or "").lower())) for rx in res) for x in texts], dtype=np.float64)
+        keep = scores > 0
+        take = min(k, int(keep.sum()))
+        if take == 0:
+            return pa.table({id_col: pa.array([], t.schema.field(id_col).type), "score_fulltext": pa.array([], pa.float64())})
+        idx = np.flatnonzero(keep)
+        sel = idx[np.argpartition(-scores[idx], take - 1)[:take]]
+        return pa.table({id_col: t.column(id_col).take(pa.array(sel)), "score_fulltext": pa.array(scores[sel])})
+
+    out = (
+        chunks.select_columns([id_col, "text"])
+        .map_batches(local, batch_format="pyarrow", batch_size=4096)
+        .sort(["score_fulltext", id_col], descending=[True, False])
+        .limit(k)
+    )
+    return _ensure_cols(out.to_pandas(), id_col, "score_fulltext")
+
+
+def _ensure_cols(df: pd.DataFrame, id_col: str, score_col: str) -> pd.DataFrame:
+    """A 0-row Ray dataset loses its schema through to_pandas(); restore
+    the contract columns so downstream merges don't KeyError."""
+    if id_col not in df.columns:
+        df = pd.DataFrame({id_col: pd.Series(dtype=object), score_col: pd.Series(dtype=float)})
+    return df
+
+
+def _max_normalize(s: pd.Series) -> pd.Series:
+    """0-safe max normalization (reference runtime.py:53-60)."""
+    m = s.max()
+    return s / m if m and m > 0 else s * 0.0
+
+
+def hybrid_search(
+    chunks: rd.Dataset,
+    embeddings: rd.Dataset,
+    query_text: str,
+    k: int = 5,
+    embed_dim: int = 1024,
+    embed_seed: int = 42,
+    alpha: float = 0.5,
+) -> pd.DataFrame:
+    """Vector ∪ fulltext hybrid with per-list max normalization and a
+    weighted combined score; returns the top-k hit rows."""
+    q = HashEmbedder(dim=embed_dim, seed=embed_seed)._embed_one(query_text)
+    v = vector_topk(embeddings, q, k=k)
+    f = fulltext_topk(chunks, query_text, k=k)
+    v["score_vector"] = _max_normalize(v["score_vector"]) if len(v) else v.get("score_vector")
+    f["score_fulltext"] = _max_normalize(f["score_fulltext"]) if len(f) else f.get("score_fulltext")
+    merged = pd.merge(v, f, on="chunk_uid", how="outer").fillna(0.0)
+    merged["score"] = alpha * merged["score_vector"] + (1 - alpha) * merged["score_fulltext"]
+    merged = merged.sort_values(["score", "chunk_uid"], ascending=[False, True]).head(k).reset_index(drop=True)
+    return merged
+
+
+def semantic_context(linked: rd.Dataset, hit_chunk_uids: list[str]) -> pd.DataFrame:
+    """Entities + relations contributed by the hit chunks (semi-join with
+    broadcast hit set; dedup by (subj_id, pred, obj_id))."""
+    hits = set(hit_chunk_uids)
+
+    def f(t: pa.Table) -> pa.Table:
+        mask = pa.array([u in hits for u in t.column("chunk_uid").to_pylist()], pa.bool_())
+        return t.filter(mask)
+
+    df = linked.map_batches(f, batch_format="pyarrow").to_pandas()
+    if df.empty:
+        return df
+    return (
+        df.drop_duplicates(subset=["subj_id", "pred", "obj_id"])
+        .sort_values(["subj_id", "pred", "obj_id"])
+        .reset_index(drop=True)
+    )
+
+
+def fetch_node(nodes: rd.Dataset, entity_id: str) -> pd.DataFrame:
+    """MCP ``fetch`` parity (runtime.py:236-272): one node by id."""
+
+    def f(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t.column("entity_id"), pa.scalar(entity_id)))
+
+    return nodes.map_batches(f, batch_format="pyarrow").to_pandas()

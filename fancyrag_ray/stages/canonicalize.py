@@ -28,6 +28,8 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Min
 
+from ..util import adaptive_partitions
+
 
 def exact_resolution_mapping(nodes: rd.Dataset, id_col: str = "entity_id", label_col: str = "label", name_col: str = "name_norm") -> rd.Dataset:
     """entity_id → canonical_id where canonical = min(entity_id) over the
@@ -47,7 +49,7 @@ def exact_resolution_mapping(nodes: rd.Dataset, id_col: str = "entity_id", label
     joined = members.join(
         canon,
         join_type="inner",
-        num_partitions=max(2, min(64, nodes.num_blocks())),
+        num_partitions=adaptive_partitions(64),
         on=(label_col, name_col),
     )
     return joined.select_columns([id_col, "canonical_id"])
@@ -115,11 +117,12 @@ def connected_components(
         comp = pc.min_element_wise(batch.column("component"), batch.column("node"))
         return pa.table({"node": batch.column("node"), "component": comp})
 
-    labels = labels.map_batches(keep_min, batch_format="pyarrow")
+    labels = labels.map_batches(keep_min, batch_format="pyarrow").materialize()
+    parts = adaptive_partitions(num_partitions, n_rows=labels.count())
     for _ in range(max_rounds):
         # message pass: neighbor's current component → each node
         msgs = und.join(
-            labels, join_type="inner", num_partitions=num_partitions,
+            labels, join_type="inner", num_partitions=parts,
             on=("nbr",), right_on=("node",), right_suffix="_r",
         ).select_columns(["node", "component"])
         self_msgs = labels
@@ -127,14 +130,17 @@ def connected_components(
             msgs.union(self_msgs)
             .groupby("node")
             .aggregate(Min("component", alias_name="component"))
-        )
+        ).materialize()
         # convergence: stop when no label shrank this round
         changed = (
             new_labels.join(
-                labels, join_type="inner", num_partitions=num_partitions,
+                labels, join_type="inner", num_partitions=parts,
                 on=("node",), left_suffix="", right_suffix="_old",
             )
-            .filter(lambda r: r["component"] != r["component_old"])
+            .map_batches(
+                lambda t: t.filter(pc.not_equal(t.column("component"), t.column("component_old"))),
+                batch_format="pyarrow",
+            )
             .count()
         )
         labels = new_labels

@@ -26,6 +26,8 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from ..util import adaptive_partitions
+
 
 def nodes_from_linked_triples(linked: rd.Dataset) -> rd.Dataset:
     """Canonical entity nodes from linked triples (both endpoints)."""
@@ -103,6 +105,7 @@ def rewrite_edge_endpoints(edges: rd.Dataset, mapping: rd.Dataset, num_partition
 
         return _f
 
+    num_partitions = adaptive_partitions(num_partitions)
     out = edges.join(
         mapping, join_type="left_outer", num_partitions=num_partitions,
         on=("src_id",), right_on=("entity_id",), right_suffix="_m",

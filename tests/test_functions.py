@@ -1,0 +1,270 @@
+"""Unit tests: sanitizer, scrubber, quality/lang-id, fingerprints,
+near-dup detection with planted duplicates, connected components (both
+paths), QA gate, retrieval, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from fancyrag_ray.functions.sanitize import (
+    fs_safe_name,
+    mask_base_url,
+    sanitize_property_value,
+    scrub_object,
+    strip_code_fence,
+    token_estimate,
+)
+
+
+class TestSanitize:
+    def test_primitives_pass(self):
+        for v in [None, "x", 3, 2.5, True]:
+            assert sanitize_property_value(v) == v
+
+    def test_homogeneous_list_passes(self):
+        assert sanitize_property_value([1, 2, 3]) == [1, 2, 3]
+
+    def test_heterogeneous_list_jsonified(self):
+        assert sanitize_property_value([1, "a"]) == '[1, "a"]'
+
+    def test_nested_list_jsonified(self):
+        assert sanitize_property_value([[1], [2]]) == "[[1], [2]]"
+
+    def test_mapping_jsonified_sorted(self):
+        assert sanitize_property_value({"b": 1, "a": 2}) == '{"a": 2, "b": 1}'
+
+    def test_other_stringified(self):
+        class X:
+            def __str__(self):
+                return "X!"
+
+        assert sanitize_property_value(X()) == "X!"
+
+    def test_strip_code_fence(self):
+        assert strip_code_fence('```json\n{"a": 1}\n```') == '{"a": 1}'
+        assert strip_code_fence("no fence") == "no fence"
+
+    def test_scrub_secret_keys_and_values(self):
+        obj = {"api_key": "abc123", "msg": "Bearer abcdefgh12345", "ok": "fine"}
+        out = scrub_object(obj)
+        assert out["api_key"] == "***"
+        assert "abcdefgh" not in out["msg"]
+        assert out["ok"] == "fine"
+
+    def test_scrub_cycle_safe(self):
+        d = {"a": 1}
+        d["self"] = d
+        out = scrub_object(d)
+        assert out["self"] == "***"
+
+    def test_mask_base_url(self):
+        assert mask_base_url("https://u:p@api.example.com/v1/chat?x=1") == "https://api.example.com/***"
+        assert mask_base_url("https://api.example.com") == "https://api.example.com"
+
+    def test_fs_safe_name(self):
+        assert fs_safe_name("a b/c:d") == "a-b-c-d"
+
+    def test_token_estimate(self):
+        assert token_estimate("") == 1
+        assert token_estimate("abcd" * 3) == 3
+
+
+class TestQualityFns:
+    def test_lang_id_heuristic(self):
+        from fancyrag_ray.functions.quality import LangId
+
+        l = LangId()
+        assert l.classify_one("the cat and the dog are in the house")[0] == "en"
+        assert l.classify_one("der hund und die katze sind nicht auf dem tisch")[0] == "de"
+        assert l.classify_one("el perro y el gato en la casa para su amigo")[0] == "es"
+        assert l.classify_one("数据处理引擎在大规模集群上运行")[0] == "zh"
+
+    def test_lang_id_batch(self):
+        from fancyrag_ray.functions.quality import LangId
+
+        t = pa.table({"doc_id": [1, 2], "text": ["the and of to a", "el la de que y"]})
+        out = LangId()(t)
+        assert out.column("lang_pred").to_pylist() == ["en", "es"]
+
+    def test_rolling_fingerprint_deterministic_and_shift_invariant_min(self):
+        from fancyrag_ray.functions.quality import rolling_fingerprint
+
+        a = rolling_fingerprint("one two three four five six seven")
+        assert a == rolling_fingerprint("one two three four five six seven")
+        assert rolling_fingerprint("") == 0
+        # shared window ⇒ shared candidate hashes (min may differ, both nonzero)
+        assert rolling_fingerprint("x one two three four five y") != 0
+
+
+class TestNearDup:
+    @pytest.fixture()
+    def planted(self):
+        base = " ".join(f"word{i}" for i in range(60))
+        near = base.replace("word30", "changed")  # 1 of 60 words differs ⇒ J ≈ 0.9
+        other = "completely different content about ray data pipelines and arrow batches " * 8
+        return pa.table(
+            {
+                "doc_id": ["a", "a2", "b", "c"],
+                "text": [base, base, near, other],
+            }
+        )
+
+    def test_minhash_finds_planted(self, planted, ray_session):
+        from fancyrag_ray.functions.dedup import minhash_lsh_duplicates
+
+        out = minhash_lsh_duplicates(rd.from_arrow(planted), jaccard_threshold=0.7).to_pandas()
+        clusters = dict(zip(out["doc_id"], out["keep"]))
+        assert clusters.get("a2") == "a"
+        assert clusters.get("b") == "a"  # near-dup joins the cluster
+        assert "c" not in clusters  # distinct doc untouched
+
+    def test_simhash_finds_planted(self, planted, ray_session):
+        from fancyrag_ray.functions.dedup import simhash_duplicates
+
+        out = simhash_duplicates(rd.from_arrow(planted)).to_pandas()
+        pairs = set(zip(out["doc_a"], out["doc_b"]))
+        assert ("a", "a2") in pairs
+        assert not any("c" in p for pair in pairs for p in pair)
+
+    def test_ngram_jaccard(self):
+        from fancyrag_ray.functions.dedup import ngram_jaccard
+
+        assert ngram_jaccard("a b c d e", "a b c d e") == 1.0
+        assert ngram_jaccard("a b c d e", "x y z w v") == 0.0
+
+
+class TestConnectedComponents:
+    def _edges(self):
+        return rd.from_arrow(
+            pa.table({"src": ["b", "c", "e", "f"], "dst": ["a", "b", "d", "e"]})
+        )
+
+    def test_driver_path(self, ray_session):
+        from fancyrag_ray.stages.canonicalize import connected_components
+
+        out = connected_components(self._edges()).to_pandas()
+        m = dict(zip(out["node"], out["component"]))
+        assert m["a"] == m["b"] == m["c"] == "a"
+        assert m["d"] == m["e"] == m["f"] == "d"
+
+    def test_distributed_path_matches_driver(self, ray_session):
+        from fancyrag_ray.stages.canonicalize import connected_components
+
+        out = connected_components(self._edges(), driver_threshold=0).to_pandas()
+        m = dict(zip(out["node"], out["component"]))
+        assert m["a"] == m["b"] == m["c"] == "a"
+        assert m["d"] == m["e"] == m["f"] == "d"
+
+
+class TestQaGate:
+    def test_metrics_and_gate(self, small_corpus, ray_session, tmp_path):
+        from fancyrag_ray.config import PipelineConfig
+        from fancyrag_ray.pipelines.kg_build import run_kg_build
+        from fancyrag_ray.pipelines.qa import evaluate, write_report
+
+        corpus, _ = small_corpus
+        docs = rd.from_arrow(corpus.documents)
+        res = run_kg_build(docs, alias_table=corpus.aliases, cfg=PipelineConfig(embed_dim=32))
+        chunks = res.chunks.materialize()
+        emb = res.embeddings.materialize()
+        m = evaluate(docs, chunks, emb, res.nodes.materialize(), res.edges.materialize())
+        assert m.status == "pass", m.failures
+        assert m.documents == corpus.documents.num_rows
+        assert m.chunks == chunks.count()
+        assert m.missing_embeddings == 0
+        assert m.orphan_chunks == 0
+        assert m.duplicate_uids == 0
+        assert m.orphan_entities == 0
+        assert sum(m.token_histogram.values()) == m.chunks
+        paths = write_report(m, str(tmp_path))
+        import json
+
+        assert json.load(open(paths["json"]))["status"] == "pass"
+
+    def test_gate_fails_on_missing_embeddings(self, small_corpus, ray_session):
+        from fancyrag_ray.config import PipelineConfig
+        from fancyrag_ray.pipelines.kg_build import run_kg_build
+        from fancyrag_ray.pipelines.qa import evaluate
+
+        corpus, _ = small_corpus
+        docs = rd.from_arrow(corpus.documents)
+        res = run_kg_build(docs, alias_table=corpus.aliases, cfg=PipelineConfig(embed_dim=32))
+        chunks = res.chunks.materialize()
+        emb = res.embeddings.materialize().limit(5)  # drop most embeddings
+        m = evaluate(docs, chunks, emb, res.nodes.materialize(), res.edges.materialize())
+        assert m.status == "fail"
+        assert any("missing_embeddings" in f for f in m.failures)
+
+
+class TestRetrieval:
+    def test_hybrid_search_and_context(self, small_corpus, ray_session):
+        from fancyrag_ray.config import PipelineConfig
+        from fancyrag_ray.pipelines.kg_build import run_kg_build
+        from fancyrag_ray.pipelines.retrieval import hybrid_search, semantic_context, fetch_node
+
+        corpus, _ = small_corpus
+        docs = rd.from_arrow(corpus.documents)
+        cfg = PipelineConfig(embed_dim=64)
+        res = run_kg_build(docs, alias_table=corpus.aliases, cfg=cfg)
+        chunks = res.chunks.materialize()
+        emb = res.embeddings.materialize()
+        linked = res.linked.materialize()
+
+        # query with a canonical company name present in the corpus
+        some = linked.take(1)[0]
+        query = f"{some['subj']} launched"
+        hits = hybrid_search(chunks, emb, query, k=5, embed_dim=64)
+        assert len(hits) > 0
+        assert {"chunk_uid", "score_vector", "score_fulltext", "score"} <= set(hits.columns)
+        assert (hits["score"].values[:-1] >= hits["score"].values[1:]).all()
+        # normalized scores in [0, 1]
+        assert hits["score_vector"].max() <= 1.0 + 1e-9
+        assert hits["score_fulltext"].max() <= 1.0 + 1e-9
+
+        ctx = semantic_context(linked, hits["chunk_uid"].tolist())
+        assert not ctx.duplicated(subset=["subj_id", "pred", "obj_id"]).any()
+
+        node = fetch_node(res.nodes.materialize(), some["subj_id"])
+        assert len(node) == 1
+
+    def test_fulltext_empty_query(self, small_corpus, ray_session):
+        from fancyrag_ray.pipelines.retrieval import fulltext_topk
+        from fancyrag_ray.config import PipelineConfig
+        from fancyrag_ray.pipelines.kg_build import build_chunks
+
+        corpus, _ = small_corpus
+        chunks = build_chunks(rd.from_arrow(corpus.documents), PipelineConfig())
+        out = fulltext_topk(chunks, "", k=5)
+        assert len(out) == 0
+
+
+class TestMultimodal:
+    def test_decode_plumbing(self, small_corpus, ray_session):
+        from fancyrag_ray.stages.multimodal import AudioFrameSampler, ImageDecoder, media_spans_table
+
+        corpus, _ = small_corpus
+        docs = rd.from_arrow(corpus.documents)
+        media = docs.map_batches(media_spans_table, batch_format="pyarrow", batch_size=256)
+        images = media.filter(lambda r: r["kind"] == "image")
+        decoded = images.map_batches(
+            ImageDecoder, batch_format="pyarrow", batch_size=64, concurrency=(1, 2)
+        ).to_pandas()
+        assert len(decoded) > 0
+        assert set(decoded.columns) == {"media_ref", "height", "width", "features"}
+        assert all(len(f) == ImageDecoder.FEATURE_DIM for f in decoded["features"])
+        # deterministic: same ref → same fake decode
+        d2 = images.map_batches(
+            ImageDecoder, batch_format="pyarrow", batch_size=64, concurrency=(1, 2)
+        ).to_pandas()
+        pd.testing.assert_frame_equal(
+            decoded.sort_values("media_ref").reset_index(drop=True),
+            d2.sort_values("media_ref").reset_index(drop=True),
+        )
+
+    def test_real_decode_gated(self):
+        from fancyrag_ray.stages.multimodal import ImageDecoder
+
+        with pytest.raises(NotImplementedError):
+            ImageDecoder(use_fake=False)._decode_one(b"xx")
