@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "high_value_open_orders": R.high_value_open_orders,
         "supplier_balance_by_region": R.supplier_balance_by_region,
         "distinct_order_priorities": R.distinct_order_priorities,
+        "events_sessions": R.events_sessions,
         # KG per-document stages (SURVEY §2.1-2.3, §2.7-2.8)
         "chunk_documents": T.chunk_documents,
         "token_stats_by_source": T.token_stats_by_source,
@@ -94,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_cosine": S.knn_cosine,
         "knn_cosine_lsh": S.knn_cosine_lsh,
+        "knn_cosine_ivf": S.knn_cosine_ivf,
         "embedding_near_duplicates": S.embedding_near_duplicates,
         # near-dup dedup (no SQL oracle: iterative/sketch-based)
         "near_dup_minhash": near_dup_minhash,
@@ -118,6 +120,7 @@ def oracle_sql() -> dict[str, str]:
         "high_value_open_orders": R.HIGH_VALUE_OPEN_ORDERS_SQL,
         "supplier_balance_by_region": R.SUPPLIER_BALANCE_BY_REGION_SQL,
         "distinct_order_priorities": R.DISTINCT_ORDER_PRIORITIES_SQL,
+        "events_sessions": R.EVENTS_SESSIONS_SQL,
         "chunk_documents": T.CHUNK_DOCUMENTS_SQL,
         "token_stats_by_source": T.TOKEN_STATS_BY_SOURCE_SQL,
         "token_histogram": T.TOKEN_HISTOGRAM_SQL,

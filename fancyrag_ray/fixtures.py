@@ -206,14 +206,66 @@ def generate_corpus(
     return Corpus(documents=documents, aliases=aliases, golden_triples=golden)
 
 
-def write_corpus(corpus: Corpus, out_dir: str) -> dict[str, str]:
+FAIL_MARKER = " @@FAIL@@ "
+
+
+def generate_failure_corpus(seed: int = 42) -> pa.Table:
+    """Failure-injection docs (FIXTURES.md §8): binary-noise spans (parity
+    with the reference's UnicodeDecodeError skip, pipeline.py:502-513),
+    whitespace-only docs (pipeline.py:510-512), and flaky-extraction
+    markers that make the extractor raise on first sight."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    rows.append(("bad-binary-0", [("text", "ok prefix. ", ""), ("text", "\ufffd" + chr(0) + chr(1) + chr(2) + " binary noise", "")]))
+    rows.append(("bad-empty-0", [("text", "   \n\t  ", "")]))
+    rows.append(("bad-empty-1", [("text", "", ""), ("image", "", "image://bucket/bad-empty-1/1")]))
+    for i in range(5):
+        rows.append((f"flaky-{i}", [("text", f"normal text here. {FAIL_MARKER} more text. ", "")]))
+    for i in range(10):
+        words = " ".join(_FILLER[int(x)] for x in rng.integers(0, len(_FILLER), 30))
+        rows.append((f"good-{i}", [("text", words + ". ", "")]))
+
+    doc_ids, kinds, texts, refs, offs, lo = [], [], [], [], [], [0]
+    for doc_id, spans in rows:
+        doc_ids.append(doc_id)
+        cum = 0
+        for kind, text, ref in spans:
+            kinds.append(kind)
+            texts.append(text)
+            refs.append(ref)
+            offs.append(cum)
+            cum += len(text) if kind == "text" else 0
+        lo.append(len(kinds))
+    structs = pa.StructArray.from_arrays(
+        [pa.array(kinds), pa.array(texts), pa.array(refs), pa.array(np.asarray(offs, dtype=np.int32))],
+        fields=list(SPAN_TYPE),
+    )
+    spans_arr = pa.ListArray.from_arrays(pa.array(lo, type=pa.int32()), structs)
+    return pa.table({"doc_id": pa.array(doc_ids), "spans": spans_arr})
+
+
+def write_corpus(corpus: Corpus, out_dir: str, n_doc_files: int = 1) -> dict[str, str]:
+    """Write the corpus tables. ``n_doc_files > 1`` shards ``documents``
+    into a directory of part files — the faithful small-scale stand-in
+    for a many-fragment Lance table (a single parquet file is read and
+    decoded by ONE task, serializing the whole pipeline's input)."""
     os.makedirs(out_dir, exist_ok=True)
     paths = {}
-    for name, tbl in (
-        ("documents", corpus.documents),
-        ("entity_aliases", corpus.aliases),
-        ("golden_triples", corpus.golden_triples),
-    ):
+    if n_doc_files <= 1:
+        p = os.path.join(out_dir, "documents.parquet")
+        pq.write_table(corpus.documents, p)
+        paths["documents"] = p
+    else:
+        d = os.path.join(out_dir, "documents")
+        os.makedirs(d, exist_ok=True)
+        n = corpus.documents.num_rows
+        step = (n + n_doc_files - 1) // n_doc_files
+        for i in range(n_doc_files):
+            part = corpus.documents.slice(i * step, step)
+            if part.num_rows:
+                pq.write_table(part, os.path.join(d, f"part-{i:05d}.parquet"))
+        paths["documents"] = d
+    for name, tbl in (("entity_aliases", corpus.aliases), ("golden_triples", corpus.golden_triples)):
         p = os.path.join(out_dir, f"{name}.parquet")
         pq.write_table(tbl, p)
         paths[name] = p

@@ -50,7 +50,7 @@ def pricing_summary(sf_dir: str) -> rd.Dataset:
             ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "sum_disc_price", "count_order"]
         )
 
-    out = ds.map_batches(partial, batch_format="pyarrow").groupby(["l_returnflag", "l_linestatus"]).aggregate(
+    out = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("sum_qty", alias_name="sum_qty"),
         Sum("sum_base_price", alias_name="sum_base_price"),
         Sum("sum_disc_price", alias_name="sum_disc_price"),
@@ -139,7 +139,7 @@ def revenue_by_nation(sf_dir: str, broadcast_join: bool = True) -> rd.Dataset:
                 }
             )
 
-        out = li.map_batches(partial, batch_format="pyarrow").groupby("n_name").aggregate(
+        out = li.map_batches(partial, batch_format="pyarrow", batch_size=None).groupby("n_name").aggregate(
             Sum("revenue", alias_name="revenue")
         )
     else:
@@ -158,7 +158,7 @@ def revenue_by_nation(sf_dir: str, broadcast_join: bool = True) -> rd.Dataset:
             g = pt.group_by(["n_name"]).aggregate([("revenue", "sum")])
             return g.rename_columns(["n_name", "revenue"])
 
-        out = joined.map_batches(partial_join, batch_format="pyarrow").groupby("n_name").aggregate(
+        out = joined.map_batches(partial_join, batch_format="pyarrow", batch_size=None).groupby("n_name").aggregate(
             Sum("revenue", alias_name="revenue")
         )
     return out.map_batches(
@@ -221,7 +221,7 @@ def events_hourly(sf_dir: str) -> rd.Dataset:
         g = pt.group_by(["user_id", "hour"]).aggregate([([], "count_all"), ("value", "sum")])
         return g.rename_columns(["user_id", "hour", "n_events", "sum_value"])
 
-    out = ds.map_batches(partial, batch_format="pyarrow").groupby(["user_id", "hour"]).aggregate(
+    out = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).groupby(["user_id", "hour"]).aggregate(
         Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value")
     )
     return out.map_batches(
@@ -246,7 +246,7 @@ def events_by_type(sf_dir: str) -> rd.Dataset:
         g = t.group_by(["event_type"]).aggregate([([], "count_all"), ("value", "sum")])
         return g.rename_columns(["event_type", "n_events", "sum_value"])
 
-    out = ds.map_batches(partial, batch_format="pyarrow").groupby("event_type").aggregate(
+    out = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).groupby("event_type").aggregate(
         Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value")
     )
     return out.map_batches(
@@ -298,7 +298,7 @@ def supplier_balance_by_region(sf_dir: str) -> rd.Dataset:
         g = pt.group_by(["r_name"]).aggregate([([], "count_all"), ("s_acctbal", "sum")])
         return g.rename_columns(["r_name", "n_suppliers", "total_acctbal"])
 
-    out = ds.map_batches(partial, batch_format="pyarrow").groupby("r_name").aggregate(
+    out = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).groupby("r_name").aggregate(
         Sum("n_suppliers", alias_name="n_suppliers"), Sum("total_acctbal", alias_name="total_acctbal")
     )
     return out.map_batches(
@@ -317,6 +317,54 @@ GROUP BY r_name
 """
 
 
+def events_sessions(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
+    """Gap-based sessionization (streaming-shaped op → batch groupby):
+    per user, a new session starts when the inter-event gap exceeds
+    ``gap_minutes``. Implemented as ``groupby(user).map_groups`` over
+    ts-sorted groups (the guide's pattern for windowed state); ordering
+    assumption: per-user event streams fit one group."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        new_s = (g["ts"].diff() > gap) | g["ts"].diff().isna()
+        g["session_id"] = new_s.cumsum().astype("int32")
+        out = g.groupby("session_id", as_index=False).agg(
+            user_id=("user_id", "first"),
+            n_events=("ts", "size"),
+            t_start=("ts", "min"),
+            t_end=("ts", "max"),
+            sum_value=("value", "sum"),
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        out["sum_value"] = out["sum_value"].round(2)
+        return out[["user_id", "session_id", "n_events", "t_start", "t_end", "sum_value"]]
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+EVENTS_SESSIONS_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, CAST(session_id AS INTEGER) AS session_id, COUNT(*) AS n_events,
+       MIN(ts) AS t_start, MAX(ts) AS t_end, ROUND(SUM(value), 2) AS sum_value
+FROM sess GROUP BY user_id, session_id
+"""
+
+
 def distinct_order_priorities(sf_dir: str) -> rd.Dataset:
     """Distinct values (set-op / D2 parity)."""
     ds = _read(sf_dir, "orders", ["o_orderpriority"])
@@ -325,7 +373,7 @@ def distinct_order_priorities(sf_dir: str) -> rd.Dataset:
         g = t.group_by(["o_orderpriority"]).aggregate([])
         return g
 
-    return ds.map_batches(partial, batch_format="pyarrow").groupby("o_orderpriority").aggregate(
+    return ds.map_batches(partial, batch_format="pyarrow", batch_size=None).groupby("o_orderpriority").aggregate(
         Count(alias_name="_n")
     ).select_columns(["o_orderpriority"])
 

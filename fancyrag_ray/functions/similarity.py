@@ -105,7 +105,12 @@ def knn_cosine_lsh(sf_dir: str, query_vec_id: int = 0, k: int = 10, n_planes: in
     qn = q / np.linalg.norm(q)
     index = LshAnnIndex(dim=len(q), n_planes=n_planes)
     qsig = int(index.signature(qn.reshape(1, -1))[0])
-    probe = {qsig} | {qsig ^ (1 << b) for b in range(n_planes)}
+    # multi-probe out to Hamming distance 2: diffuse (near-orthogonal)
+    # vectors flip planes with p≈θ/π≈0.4, so single-bit probing alone
+    # loses most true neighbors
+    probe = {qsig} | {qsig ^ (1 << b) for b in range(n_planes)} | {
+        qsig ^ (1 << a) ^ (1 << b) for a in range(n_planes) for b in range(a + 1, n_planes)
+    }
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def local(t: pa.Table) -> pa.Table:
@@ -124,6 +129,74 @@ def knn_cosine_lsh(sf_dir: str, query_vec_id: int = 0, k: int = 10, n_planes: in
         return pa.table(
             {"vec_id": pa.array(ids[sel], pa.int64()), "score": pa.array(scores[sel], pa.float64())}
         )
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow", batch_size=4096)
+        .sort(["score", "vec_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+class IvfIndex:
+    """IVF coarse quantizer: k seeded centroids refined with a few Lloyd
+    iterations over a driver-side sample; assignment/probing is a numpy
+    matmul per batch. The scale path for ANN: queries score only the
+    ``nprobe`` nearest cells instead of the full corpus."""
+
+    def __init__(self, sample: np.ndarray, n_cells: int = 16, n_iter: int = 5, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        sample = sample.astype(np.float64)
+        sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+        idx = rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)
+        cents = sample[idx]
+        for _ in range(n_iter):
+            assign = np.argmax(sample @ cents.T, axis=1)
+            for c in range(len(cents)):
+                members = sample[assign == c]
+                if len(members):
+                    v = members.mean(axis=0)
+                    n = np.linalg.norm(v)
+                    if n > 0:
+                        cents[c] = v / n
+        self.centroids = cents
+
+    def assign(self, m: np.ndarray) -> np.ndarray:
+        return np.argmax(m @ self.centroids.T, axis=1)
+
+    def probe_cells(self, q: np.ndarray, nprobe: int) -> set[int]:
+        scores = self.centroids @ q
+        return set(np.argsort(-scores)[:nprobe].tolist())
+
+
+def knn_cosine_ivf(
+    sf_dir: str, query_vec_id: int = 0, k: int = 10, n_cells: int = 16, nprobe: int = 4,
+    sample_rows: int = 2048, seed: int = 42,
+) -> rd.Dataset:
+    """Approximate top-k via IVF: train the coarse quantizer on a seeded
+    sample, then score only vectors in the query's nprobe cells.
+    Rows-only driver check; recall vs brute force asserted in tests."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    sample = _embedding_matrix(t.slice(0, min(sample_rows, t.num_rows)))
+    index = IvfIndex(sample, n_cells=n_cells, seed=seed)
+    q = _query_vector(sf_dir, query_vec_id)
+    qn = q / np.linalg.norm(q)
+    probe = index.probe_cells(qn, nprobe)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def local(tb: pa.Table) -> pa.Table:
+        m = _embedding_matrix(tb).astype(np.float64)
+        norms = np.maximum(np.linalg.norm(m, axis=1), 1e-12)
+        mn = m / norms[:, None]
+        cells = index.assign(mn)
+        ids = tb.column("vec_id").to_numpy(zero_copy_only=False)
+        cand = np.isin(cells, list(probe)) & (ids != query_vec_id)
+        if not cand.any():
+            return pa.table({"vec_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())})
+        scores = mn[cand] @ qn
+        ids = ids[cand]
+        take = min(k, len(ids))
+        sel = np.argpartition(-scores, take - 1)[:take]
+        return pa.table({"vec_id": pa.array(ids[sel], pa.int64()), "score": pa.array(scores[sel], pa.float64())})
 
     return (
         ds.map_batches(local, batch_format="pyarrow", batch_size=4096)

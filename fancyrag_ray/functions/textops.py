@@ -72,7 +72,7 @@ def token_stats_by_source(sf_dir: str) -> rd.Dataset:
         g = pt.group_by(["source"]).aggregate([([], "count_all"), ("tokens", "sum"), ("tokens", "max")])
         return g.rename_columns(["source", "n_docs", "total_tokens", "max_tokens"])
 
-    out = ds.map_batches(partial, batch_format="pyarrow").groupby("source").aggregate(
+    out = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).groupby("source").aggregate(
         Sum("n_docs", alias_name="n_docs"),
         Sum("total_tokens", alias_name="total_tokens"),
         Max("max_tokens", alias_name="max_tokens"),
@@ -116,7 +116,7 @@ def token_histogram(sf_dir: str) -> rd.Dataset:
         return g.rename_columns(["bucket", "n_docs"])
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("bucket")
         .aggregate(Sum("n_docs", alias_name="n_docs"))
     )
@@ -182,7 +182,7 @@ def cooccurrence_edges(sf_dir: str) -> rd.Dataset:
         return g.rename_columns(["term_a", "term_b", "n_docs"])
 
     return (
-        ds.map_batches(pairs, batch_format="pyarrow", batch_size=2048)
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=None)
         .groupby(["term_a", "term_b"])
         .aggregate(Sum("n_docs", alias_name="n_docs"))
     )
@@ -207,7 +207,7 @@ def dedup_exact(sf_dir: str) -> rd.Dataset:
         g = pt.group_by(["fp"]).aggregate([("doc_id", "min"), ([], "count_all")])
         return g.rename_columns(["fp", "doc_id", "group_size"])
 
-    out = ds.map_batches(partial, batch_format="pyarrow").groupby("fp").aggregate(
+    out = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).groupby("fp").aggregate(
         Min("doc_id", alias_name="doc_id"), Sum("group_size", alias_name="group_size")
     )
     return out.select_columns(["fp", "doc_id", "group_size"])

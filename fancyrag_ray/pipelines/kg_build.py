@@ -53,18 +53,39 @@ def build_chunks(docs: rd.Dataset, cfg: PipelineConfig) -> rd.Dataset:
     )
 
 
-def build_embeddings(chunks: rd.Dataset, cfg: PipelineConfig) -> rd.Dataset:
-    # concurrency=(1, N): autoscaling pool. A fixed pool of N would pin
-    # N CPUs even while idle and can starve the upstream read into a
-    # resource deadlock on small clusters (observed live on 8 CPUs).
-    return chunks.map_batches(
-        HashEmbedder,
-        fn_constructor_kwargs={"dim": cfg.embed_dim, "seed": cfg.embed_seed},
-        batch_format="pyarrow",
-        batch_size=cfg.embed_batch_size,
-        concurrency=(1, cfg.embed_concurrency),
-        num_cpus=1,
-    )
+# Worker-global lazy state for task-mode stages: plain-function
+# map_batches tasks reuse warm Ray worker processes, so state built once
+# per process amortizes like actor state WITHOUT per-pipeline actor
+# startup (~1-2 s × pool size × phase, the dominant fixed cost of short
+# phases). Actor-pool mode remains for heavy backends (real models,
+# rate-limited clients) where per-actor lifecycle control matters.
+_WORKER_STATE: dict = {}
+
+
+def build_embeddings(chunks: rd.Dataset, cfg: PipelineConfig, mode: str = "tasks") -> rd.Dataset:
+    if mode == "actors":
+        # Autoscaling pool with a warm floor of half the max: a floor of
+        # 1 never ramps during short phases; a fixed pool of N can pin
+        # every CPU while idle and starve the upstream read into a
+        # deadlock (both observed live).
+        return chunks.map_batches(
+            HashEmbedder,
+            fn_constructor_kwargs={"dim": cfg.embed_dim, "seed": cfg.embed_seed},
+            batch_format="pyarrow",
+            batch_size=cfg.embed_batch_size,
+            concurrency=(max(1, cfg.embed_concurrency // 2), cfg.embed_concurrency),
+            num_cpus=1,
+        )
+    dim, seed = cfg.embed_dim, cfg.embed_seed
+
+    def embed(batch):
+        key = ("embedder", dim, seed)
+        st = _WORKER_STATE.get(key)
+        if st is None:
+            st = _WORKER_STATE[key] = HashEmbedder(dim=dim, seed=seed)
+        return st(batch)
+
+    return chunks.map_batches(embed, batch_format="pyarrow", batch_size=cfg.embed_batch_size)
 
 
 def build_triples(
@@ -72,28 +93,52 @@ def build_triples(
     cfg: PipelineConfig,
     schema: GraphSchema = DEFAULT_SCHEMA,
     emit_cooccurrence: bool = False,
+    mode: str = "tasks",
 ) -> rd.Dataset:
-    return chunks.select_columns(["doc_id", "chunk_uid", "seq", "text"]).map_batches(
-        RuleExtractor,
-        fn_constructor_kwargs={"schema": schema, "emit_cooccurrence": emit_cooccurrence},
-        batch_format="pyarrow",
-        batch_size=cfg.extract_batch_size,
-        concurrency=(1, cfg.extract_concurrency),
-        num_cpus=1,
-    )
+    projected = chunks.select_columns(["doc_id", "chunk_uid", "seq", "text"])
+    if mode == "actors":
+        return projected.map_batches(
+            RuleExtractor,
+            fn_constructor_kwargs={"schema": schema, "emit_cooccurrence": emit_cooccurrence},
+            batch_format="pyarrow",
+            batch_size=cfg.extract_batch_size,
+            concurrency=(max(1, cfg.extract_concurrency // 2), cfg.extract_concurrency),
+            num_cpus=1,
+        )
+
+    def extract(batch):
+        key = ("extractor", id(schema), emit_cooccurrence)
+        st = _WORKER_STATE.get(key)
+        if st is None:
+            st = _WORKER_STATE[key] = RuleExtractor(schema=schema, emit_cooccurrence=emit_cooccurrence)
+        return st(batch)
+
+    return projected.map_batches(extract, batch_format="pyarrow", batch_size=cfg.extract_batch_size)
 
 
-def link_triples(triples: rd.Dataset, alias_table: pa.Table | None, cfg: PipelineConfig) -> rd.Dataset:
+def link_triples(
+    triples: rd.Dataset, alias_table: pa.Table | None, cfg: PipelineConfig, mode: str = "tasks"
+) -> rd.Dataset:
     index = build_alias_index(alias_table) if alias_table is not None else {}
-    index_ref = ray.put(index)  # broadcast ONCE; actors read it in __init__
-    return triples.map_batches(
-        AliasLinker,
-        fn_constructor_kwargs={"index_ref": index_ref},
-        batch_format="pyarrow",
-        batch_size=cfg.extract_batch_size,
-        concurrency=(1, cfg.extract_concurrency),
-        num_cpus=1,
-    )
+    index_ref = ray.put(index)  # broadcast ONCE; workers/actors read it once
+    if mode == "actors":
+        return triples.map_batches(
+            AliasLinker,
+            fn_constructor_kwargs={"index_ref": index_ref},
+            batch_format="pyarrow",
+            batch_size=cfg.extract_batch_size,
+            concurrency=(1, cfg.extract_concurrency),
+            num_cpus=1,
+        )
+
+    def link(batch):
+        key = ("linker", index_ref.hex())
+        st = _WORKER_STATE.get(key)
+        if st is None:
+            st = _WORKER_STATE[key] = AliasLinker(index_ref=index_ref)
+        return st(batch)
+
+    return triples.map_batches(link, batch_format="pyarrow", batch_size=cfg.extract_batch_size)
 
 
 def run_kg_build(

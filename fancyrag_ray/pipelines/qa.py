@@ -51,6 +51,7 @@ class QaMetrics:
     token_max: int
     token_mean: float
     token_histogram: dict
+    semantic_failures: int = 0
     status: str = "unknown"
     failures: tuple = ()
 
@@ -84,6 +85,7 @@ def evaluate(
     edges: rd.Dataset,
     thresholds: QaThresholds = QaThresholds(),
     expected_checksums: rd.Dataset | None = None,
+    linked: rd.Dataset | None = None,
 ) -> QaMetrics:
     n_docs = documents.count()
     n_chunks = chunks.count()
@@ -135,7 +137,7 @@ def evaluate(
         tok = pc.max_element_wise(pc.ceil(pc.divide(n, pa.scalar(4.0))), pa.scalar(1.0)).cast(pa.int64())
         return pa.table({"tokens": tok})
 
-    tok_ds = chunks.select_columns(["text"]).map_batches(tokens, batch_format="pyarrow")
+    tok_ds = chunks.select_columns(["text"]).map_batches(tokens, batch_format="pyarrow", batch_size=None)
     agg = tok_ds.aggregate(Sum("tokens", alias_name="total"), Max("tokens", alias_name="max"), Count(alias_name="n"))
     token_total, token_max = int(agg["total"] or 0), int(agg["max"] or 0)
     token_mean = token_total / max(1, int(agg["n"]))
@@ -150,12 +152,24 @@ def evaluate(
         pt = pa.table({"bucket": pa.array(lab, pa.string())})
         return pt.group_by(["bucket"]).aggregate([([], "count_all")]).rename_columns(["bucket", "n"])
 
-    hist_tbl = tok_ds.map_batches(bucket, batch_format="pyarrow").groupby("bucket").aggregate(
+    hist_tbl = tok_ds.map_batches(bucket, batch_format="pyarrow", batch_size=None).groupby("bucket").aggregate(
         Sum("n", alias_name="n")
     ).to_pandas()
     histogram = dict(zip(hist_tbl["bucket"], [int(x) for x in hist_tbl["n"]]))
 
+    # G8: semantic extraction failures (sentinel rows from the extractor)
+    semantic_failures = 0
+    if linked is not None:
+        from ..stages.materialize import FAILED_PRED
+
+        semantic_failures = linked.map_batches(
+            lambda t: t.filter(pc.equal(t.column("pred"), pa.scalar(FAILED_PRED))),
+            batch_format="pyarrow",
+        ).count()
+
     failures = []
+    if semantic_failures > thresholds.max_semantic_failures:
+        failures.append(f"semantic_failures {semantic_failures} > {thresholds.max_semantic_failures}")
     if missing_emb > thresholds.max_missing_embeddings:
         failures.append(f"missing_embeddings {missing_emb} > {thresholds.max_missing_embeddings}")
     if orphan_chunks > thresholds.max_orphan_chunks:
@@ -180,6 +194,7 @@ def evaluate(
         token_max=token_max,
         token_mean=round(token_mean, 6),
         token_histogram=histogram,
+        semantic_failures=semantic_failures,
         status="pass" if not failures else "fail",
         failures=tuple(failures),
     )

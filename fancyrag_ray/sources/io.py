@@ -72,3 +72,30 @@ def non_empty_docs(batch: pa.Table) -> pa.Table:
     callers count skips into the lineage manifest."""
     stripped = pc.utf8_trim_whitespace(batch.column("text"))
     return batch.filter(pc.not_equal(stripped, pa.scalar("")))
+
+
+_NOISE = set(chr(c) for c in range(0x20) if chr(c) not in "\n\t\r") | {"�"}
+
+
+def valid_interleaved_docs(batch: pa.Table) -> pa.Table:
+    """Input hygiene for interleaved docs (reference parity S3,
+    ``pipeline.py:502-513``): skip docs whose text spans are all
+    whitespace-only, and docs containing binary-like noise (control
+    chars / U+FFFD — the Arrow-string analogue of the reference's
+    UnicodeDecodeError skip). Skipped-count = input count − output
+    count, recorded by the caller into the lineage manifest."""
+    spans_col = batch.column("spans")
+    if isinstance(spans_col, pa.ChunkedArray):
+        spans_col = spans_col.combine_chunks()
+    offsets = spans_col.offsets.to_numpy()
+    values = spans_col.values
+    kinds = values.field("kind").to_pylist()
+    texts = values.field("text").to_pylist()
+    keep = []
+    for r in range(batch.num_rows):
+        text = "".join(
+            texts[j] or "" for j in range(int(offsets[r]), int(offsets[r + 1])) if kinds[j] == "text"
+        )
+        ok = bool(text.strip()) and not any(ch in _NOISE for ch in text)
+        keep.append(ok)
+    return batch.filter(pa.array(keep, pa.bool_()))

@@ -66,9 +66,14 @@ class RuleExtractor:
     ``kg_schema.json:19-21``).
     """
 
+    FAILED_PRED = "__FAILED__"
+
     def __init__(self, schema: GraphSchema = DEFAULT_SCHEMA, emit_cooccurrence: bool = False,
-                 vocab: tuple[str, ...] = ()):
+                 vocab: tuple[str, ...] = (), fail_marker: str | None = None):
         self.schema = schema
+        # failure-injection hook: chunks containing the marker raise,
+        # exercising the failure-row routing path (tests/bench only)
+        self.fail_marker = fail_marker
         self.launched_re = re.compile(rf"\b({_NAME})\s+launched\s+({_NAME})\s+on\s+({_DATE})")
         self.ingested_re = re.compile(rf"\bingested by\s+({_NAME})")
         # opt-in: (Term, CO_OCCURS, Term) triples for vocab terms sharing a
@@ -93,6 +98,8 @@ class RuleExtractor:
         return True
 
     def extract_text(self, doc_id: str, chunk_uid: str, chunk_seq: int, text: str) -> list[tuple]:
+        if self.fail_marker and self.fail_marker in text:
+            raise RuntimeError(f"injected extraction failure in chunk {chunk_uid}")
         out = []
         for m in self.launched_re.finditer(text):
             if not self._complete(text, chunk_seq, m):
@@ -129,8 +136,16 @@ class RuleExtractor:
         for doc_id, uid, seq, text in zip(doc_ids, uids, seqs, texts):
             try:
                 rows.extend(self.extract_text(str(doc_id), uid, int(seq), text or ""))
-            except Exception:
-                n_failures += 1  # failure-row routing, counted not raised
+            except Exception as exc:
+                # failure-row routing (reference: per-chunk failure
+                # artifacts, pipeline.py:706-723): a sentinel row keeps
+                # the count distributed; materialization filters it out
+                # and the QA gate thresholds it.
+                n_failures += 1
+                rows.append(
+                    (str(doc_id), uid, int(seq), str(doc_id), "Document", self.FAILED_PRED, "", "",
+                     json.dumps({"error": str(exc)[:200]}))
+                )
         cols = list(zip(*rows)) if rows else [[] for _ in TRIPLE_SCHEMA]
         tbl = pa.table(
             {

@@ -29,10 +29,37 @@ from ray.data.aggregate import Count, Max, Min, Sum
 from ..util import adaptive_partitions
 
 
-def nodes_from_linked_triples(linked: rd.Dataset) -> rd.Dataset:
-    """Canonical entity nodes from linked triples (both endpoints)."""
+FAILED_PRED = "__FAILED__"
+
+
+def tree_aggregate(partials: rd.Dataset, group_fn, levels: tuple[int, ...] = (8, 1)) -> rd.Dataset:
+    """Sort-free dedup/aggregate for SMALL distinct-key sets: coalesce
+    blocks (`repartition`, no row movement by key) and re-apply the same
+    per-block pyarrow group_by at each level until one block holds every
+    key. Exact because the merge function is associative. Ray's
+    sort-based ``groupby().aggregate()`` costs ~100µs+/row on the same
+    input — the wrong algorithm when |distinct keys| ≪ |rows| (entity
+    and edge dedup: a KG's node/edge set is far smaller than its mention
+    stream). For key sets too big for one block, fall back to the hash
+    shuffle (``use_sort_shuffle=True`` on the callers)."""
+    out = partials
+    for n in levels:
+        out = out.repartition(n).map_batches(group_fn, batch_format="pyarrow", batch_size=None)
+    return out
+
+
+def _drop_failures(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    return batch.filter(pc.not_equal(batch.column("pred"), pa.scalar(FAILED_PRED)))
+
+
+def nodes_from_linked_triples(linked: rd.Dataset, use_sort_shuffle: bool = False) -> rd.Dataset:
+    """Canonical entity nodes from linked triples (both endpoints).
+    Failure sentinel rows are excluded (they only feed the QA gate)."""
 
     def endpoints(batch: pa.Table) -> pa.Table:
+        batch = _drop_failures(batch)
         # per-block partial: one row per (entity) with a partial count
         def side(idc, lab, name):
             return pa.table(
@@ -49,28 +76,44 @@ def nodes_from_linked_triples(linked: rd.Dataset) -> rd.Dataset:
         g = both.group_by(["entity_id", "label", "name"]).aggregate([([], "count_all")])
         return g.rename_columns(["entity_id", "label", "name", "mentions"])
 
-    partials = linked.map_batches(endpoints, batch_format="pyarrow")
-    nodes = partials.groupby(["entity_id", "label", "name"]).aggregate(Sum("mentions", alias_name="mentions"))
-    return nodes
+    partials = linked.map_batches(endpoints, batch_format="pyarrow", batch_size=None)
+    if use_sort_shuffle:  # key set too large for one block
+        return partials.groupby(["entity_id", "label", "name"]).aggregate(Sum("mentions", alias_name="mentions"))
+
+    def merge(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["entity_id", "label", "name"]).aggregate([("mentions", "sum")])
+        return g.rename_columns(["entity_id", "label", "name", "mentions"])
+
+    return tree_aggregate(partials, merge)
 
 
-def edges_from_linked_triples(linked: rd.Dataset) -> rd.Dataset:
+def edges_from_linked_triples(linked: rd.Dataset, use_sort_shuffle: bool = False) -> rd.Dataset:
     """Deduplicated typed edges with occurrence counts and doc span."""
 
     def partial(batch: pa.Table) -> pa.Table:
+        batch = _drop_failures(batch)
         g = batch.group_by(["subj_id", "pred", "obj_id"]).aggregate(
             [([], "count_all"), ("doc_id", "min"), ("doc_id", "max")]
         )
         return g.rename_columns(["src_id", "type", "dst_id", "n_mentions", "first_doc", "last_doc"])
 
     partials = linked.select_columns(["subj_id", "pred", "obj_id", "doc_id"]).map_batches(
-        partial, batch_format="pyarrow"
+        partial, batch_format="pyarrow", batch_size=None
     )
-    return partials.groupby(["src_id", "type", "dst_id"]).aggregate(
-        Sum("n_mentions", alias_name="n_mentions"),
-        Min("first_doc", alias_name="first_doc"),
-        Max("last_doc", alias_name="last_doc"),
-    )
+    if use_sort_shuffle:  # key set too large for one block
+        return partials.groupby(["src_id", "type", "dst_id"]).aggregate(
+            Sum("n_mentions", alias_name="n_mentions"),
+            Min("first_doc", alias_name="first_doc"),
+            Max("last_doc", alias_name="last_doc"),
+        )
+
+    def merge(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["src_id", "type", "dst_id"]).aggregate(
+            [("n_mentions", "sum"), ("first_doc", "min"), ("last_doc", "max")]
+        )
+        return g.rename_columns(["src_id", "type", "dst_id", "n_mentions", "first_doc", "last_doc"])
+
+    return tree_aggregate(partials, merge)
 
 
 def has_chunk_edges(chunks: rd.Dataset) -> rd.Dataset:

@@ -1,0 +1,87 @@
+"""Tests: vector-store export (S7/O2/M12 parity), IVF ANN recall,
+LSH ANN recall vs brute force."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from fancyrag_ray.pipelines.export import coerce_point_id, export_embeddings
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestPointId:
+    def test_digits_to_int(self):
+        assert coerce_point_id("123", 0) == 123
+
+    def test_non_digits_stay_str(self):
+        assert coerce_point_id("abc42", 0) == "abc42"
+
+    def test_none_fallback(self):
+        assert coerce_point_id(None, 7) == 7
+
+
+class TestExport:
+    def test_export_roundtrip(self, small_corpus, ray_session, tmp_path):
+        from fancyrag_ray.config import PipelineConfig
+        from fancyrag_ray.pipelines.kg_build import build_chunks, build_embeddings
+
+        corpus, _ = small_corpus
+        cfg = PipelineConfig(embed_dim=32)
+        docs = rd.from_arrow(corpus.documents).limit(100)
+        chunks = build_chunks(docs, cfg).materialize()
+        emb = build_embeddings(chunks, cfg).materialize()
+        out = str(tmp_path / "vecstore")
+        total = export_embeddings(chunks, emb, out, expected_dim=32)
+        assert total == emb.count()
+        back = rd.read_parquet(out).to_pandas()
+        assert len(back) == total
+        assert "point_id" in back.columns
+        # every exported point carries text + provenance for the join side
+        assert {"chunk_uid", "doc_id", "seq", "text", "embedding"} <= set(back.columns)
+
+    def test_export_dim_mismatch_raises(self, small_corpus, ray_session, tmp_path):
+        from fancyrag_ray.config import PipelineConfig
+        from fancyrag_ray.pipelines.kg_build import build_chunks, build_embeddings
+
+        corpus, _ = small_corpus
+        cfg = PipelineConfig(embed_dim=32)
+        docs = rd.from_arrow(corpus.documents).limit(20)
+        chunks = build_chunks(docs, cfg).materialize()
+        emb = build_embeddings(chunks, cfg).materialize()
+        with pytest.raises(Exception, match="dim"):
+            export_embeddings(chunks, emb, str(tmp_path / "v2"), expected_dim=64)
+
+
+class TestAnnRecall:
+    def _brute(self, k=10):
+        t = pq.read_table(f"{SF}/embeddings.parquet")
+        m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        ids = np.array(t.column("vec_id").to_pylist())
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        q = mn[list(ids).index(0)]
+        scores = mn @ q
+        mask = ids != 0
+        order = np.argsort(-scores[mask])
+        return set(ids[mask][order[:k]].tolist())
+
+    def test_ivf_recall(self, ray_session):
+        from fancyrag_ray.functions.similarity import knn_cosine_ivf
+
+        got = set(knn_cosine_ivf(SF, nprobe=8, n_cells=16).to_pandas()["vec_id"])
+        truth = self._brute()
+        assert len(got & truth) / len(truth) >= 0.6  # nprobe=8/16 cells
+
+    def test_lsh_recall(self, ray_session):
+        from fancyrag_ray.functions.similarity import knn_cosine_lsh
+
+        got = set(knn_cosine_lsh(SF, n_planes=6).to_pandas()["vec_id"])
+        truth = self._brute()
+        assert len(got & truth) / len(truth) >= 0.4  # multi-probe Hamming-1
+
+    def test_exact_matches_brute(self, ray_session):
+        from fancyrag_ray.functions.similarity import knn_cosine
+
+        got = set(knn_cosine(SF).to_pandas()["vec_id"])
+        assert got == self._brute()
