@@ -189,6 +189,20 @@ def run_partition(
     }
 
 
+def annotate_provenance(ds: rd.Dataset, **constants) -> rd.Dataset:
+    """Stamp constant provenance columns (git_commit, run profile, …) on
+    every row — reference M5/M9 semantics (``pipeline.py:471-487,568-611``):
+    provenance rides the row, no join needed downstream."""
+    import pyarrow as _pa
+
+    def stamp(batch: _pa.Table) -> _pa.Table:
+        for k, v in constants.items():
+            batch = batch.append_column(k, _pa.array([v] * batch.num_rows))
+        return batch
+
+    return ds.map_batches(stamp, batch_format="pyarrow")
+
+
 def run_kg_build_resumable(
     docs_files: list[str],
     out_dir: str,
@@ -223,7 +237,7 @@ def run_kg_build_resumable(
     edges = edges_from_linked_triples(linked)
     write_table(nodes, os.path.join(out_dir, "nodes"))
     write_table(edges, os.path.join(out_dir, "edges"))
-    return {
+    result = {
         "status": "done",
         "completed": skipped + done_count,
         "recomputed": done_count,
@@ -231,3 +245,11 @@ def run_kg_build_resumable(
         "nodes_dir": os.path.join(out_dir, "nodes"),
         "edges_dir": os.path.join(out_dir, "edges"),
     }
+    from ..state.manifest import resolve_git_commit, write_run_log
+
+    write_run_log(
+        os.path.join(out_dir, "run_log.json"),
+        {**result, "git_commit": resolve_git_commit(), "profile": cfg.profile.name,
+         "partitions": [p for p, _ in partitions]},
+    )
+    return result

@@ -27,6 +27,35 @@ class PartitionRecord:
     extra: dict = field(default_factory=dict)
 
 
+def write_run_log(path: str, payload: dict) -> str:
+    """Sanitized structured run log (reference S10, ``pipeline.py:1530-1534``):
+    secrets scrubbed by key/value heuristics, written atomically."""
+    from ..functions.sanitize import scrub_object
+
+    clean = scrub_object(payload)
+    d = os.path.dirname(path) or "."
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=".runlog-")
+    with os.fdopen(fd, "w") as f:
+        json.dump(clean, f, indent=2, sort_keys=True, default=str)
+    os.replace(tmp, path)
+    return path
+
+
+def resolve_git_commit(repo_dir: str = ".") -> str:
+    """Once-per-run provenance scalar (reference M5, ``pipeline.py:471-487``);
+    broadcast as a constant column by ``annotate_provenance``."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=repo_dir, capture_output=True, text=True, timeout=10
+        )
+        return out.stdout.strip() if out.returncode == 0 else "unknown"
+    except Exception:
+        return "unknown"
+
+
 class Manifest:
     """JSONL manifest of completed partitions, one per output table dir."""
 
