@@ -60,6 +60,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         return simhash_duplicates(docs)
 
+    def approx_distinct_customers(sf_dir: str):
+        """HLL approximate COUNT(DISTINCT o_custkey) — mergeable-sketch
+        metrics (no SQL oracle: approximate by design; accuracy asserted
+        vs exact in tests)."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from fancyrag_ray.functions.sketches import approx_distinct
+
+        ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+        est = approx_distinct(ds, "o_custkey")
+        return pa.table({"approx_distinct_custkey": pa.array([int(round(est))], pa.int64())})
+
     def kg_flagship_edges(sf_dir: str):
         import ray.data as rd
 
@@ -97,9 +110,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_lsh": S.knn_cosine_lsh,
         "knn_cosine_ivf": S.knn_cosine_ivf,
         "embedding_near_duplicates": S.embedding_near_duplicates,
-        # near-dup dedup (no SQL oracle: iterative/sketch-based)
+        # near-dup dedup / sketches (no SQL oracle: iterative/approximate)
         "near_dup_minhash": near_dup_minhash,
         "near_dup_simhash": near_dup_simhash,
+        "approx_distinct_customers": approx_distinct_customers,
         # flagship end-to-end on driver data (no SQL oracle: multi-stage)
         "kg_flagship_edges": kg_flagship_edges,
     }
