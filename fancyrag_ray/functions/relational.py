@@ -90,35 +90,51 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
-def revenue_by_nation(sf_dir: str, broadcast_join: bool = True) -> rd.Dataset:
+BROADCAST_ORDERS_LIMIT = 20_000_000  # 8 B key + 4 B code ≈ 240 MB broadcast
+
+
+def revenue_by_nation(sf_dir: str, broadcast_join: bool | None = None) -> rd.Dataset:
     """lineitem ⋈ orders ⋈ customer ⋈ nation: revenue per nation name.
 
-    Default path is a vectorized map-side broadcast join: the dimension
-    chain orders→customer→nation collapses to a sorted (o_orderkey →
-    nation_code) array pair shipped once (``ray.put``) and probed with
-    ``np.searchsorted`` per batch — no shuffle on the fact table; the
-    only exchange is 25 partial rows per block. Valid while the orders
-    keymap fits worker memory (8 B × 2 × |orders|); beyond that set
-    ``broadcast_join=False`` for the hash-partitioned ``Dataset.join``.
-    """
+    ``broadcast_join=None`` (default) picks the path by the orders row
+    count from parquet metadata: below ``BROADCAST_ORDERS_LIMIT`` the
+    dimension chain orders→customer→nation collapses to a sorted
+    (o_orderkey → nation_code) array pair shipped once (``ray.put``) and
+    probed with ``np.searchsorted`` per batch — no shuffle on the fact
+    table; the only exchange is 25 partial rows per block. Above the
+    limit (orders is itself a fact table at 100-TB scale) it is the
+    hash-partitioned ``Dataset.join`` — the broadcast path would OOM the
+    driver. The keymap build is fully vectorized (sorted-key searchsorted
+    + ``np.take``), and probe misses are dropped (inner-join semantics)
+    rather than silently mis-attributed."""
     import ray
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
-    cust_to_nation = dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist()))
+    cust_keys = cust.column("c_custkey").to_numpy()
+    cust_nation = cust.column("c_nationkey").to_numpy()
+    cust_sort = np.argsort(cust_keys)
+    cust_keys, cust_nation = cust_keys[cust_sort], cust_nation[cust_sort]
     nation_codes = nation.column("n_nationkey").to_numpy()
     nation_names = nation.column("n_name").to_pylist()
     code_to_idx = np.full(int(nation_codes.max()) + 1, -1, dtype=np.int32)
     code_to_idx[nation_codes] = np.arange(len(nation_names), dtype=np.int32)
 
+    def nation_idx_for_custkeys(ck: np.ndarray) -> np.ndarray:
+        pos = np.clip(np.searchsorted(cust_keys, ck), 0, len(cust_keys) - 1)
+        idx = code_to_idx[cust_nation[pos]]
+        return np.where(cust_keys[pos] == ck, idx, -1)
+
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    if broadcast_join is None:
+        n_orders = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+        broadcast_join = n_orders <= BROADCAST_ORDERS_LIMIT
 
     if broadcast_join:
         orders_t = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
         okeys = orders_t.column("o_orderkey").to_numpy()
-        onation = code_to_idx[
-            np.array([cust_to_nation[int(c)] for c in orders_t.column("o_custkey").to_numpy()], dtype=np.int64)
-        ]
+        onation = nation_idx_for_custkeys(orders_t.column("o_custkey").to_numpy())
         order_sort = np.argsort(okeys)
         keymap_ref = ray.put((okeys[order_sort], onation[order_sort]))
 
@@ -128,9 +144,12 @@ def revenue_by_nation(sf_dir: str, broadcast_join: bool = True) -> rd.Dataset:
                 t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
             ).to_numpy()
             lk = t.column("l_orderkey").to_numpy()
-            pos = np.searchsorted(keys_sorted, lk)
+            pos = np.clip(np.searchsorted(keys_sorted, lk), 0, len(keys_sorted) - 1)
             codes = nation_idx[pos]
-            sums = np.bincount(codes, weights=rev, minlength=len(nation_names))
+            # inner-join semantics: drop lineitems whose orderkey is
+            # absent (or whose chain broke at customer → code -1)
+            ok = (keys_sorted[pos] == lk) & (codes >= 0)
+            sums = np.bincount(codes[ok], weights=rev[ok], minlength=len(nation_names))
             nz = np.flatnonzero(sums)
             return pa.table(
                 {
@@ -143,22 +162,48 @@ def revenue_by_nation(sf_dir: str, broadcast_join: bool = True) -> rd.Dataset:
             Sum("revenue", alias_name="revenue")
         )
     else:
-        nation_name = dict(zip(nation_codes.tolist(), nation_names))
+        # Scale path: lineitem ⋈ orders and (pre-aggregated) ⋈ customer
+        # are hash joins; only nation (25 rows) is broadcast. Revenue is
+        # partially summed per custkey between the joins so the second
+        # join's left side is |distinct customers with orders|, not
+        # |lineitem|.
         orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
         joined = li.join(
             orders, join_type="inner", num_partitions=adaptive_partitions(16),
             on=("l_orderkey",), right_on=("o_orderkey",),
         )
 
-        def partial_join(t: pa.Table) -> pa.Table:
+        def partial_by_cust(t: pa.Table) -> pa.Table:
             rev = pc.multiply(t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount")))
-            custkeys = t.column("o_custkey").to_numpy(zero_copy_only=False)
-            names = [nation_name[cust_to_nation[int(k)]] for k in custkeys]
-            pt = pa.table({"n_name": pa.array(names, pa.string()), "revenue": rev})
+            pt = pa.table({"o_custkey": t.column("o_custkey"), "revenue": rev})
+            g = pt.group_by(["o_custkey"]).aggregate([("revenue", "sum")])
+            return g.rename_columns(["o_custkey", "revenue"])
+
+        by_cust = (
+            joined.map_batches(partial_by_cust, batch_format="pyarrow", batch_size=None)
+            .groupby("o_custkey")
+            .aggregate(Sum("revenue", alias_name="revenue"))
+        )
+        cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        with_nation = by_cust.join(
+            cust_ds, join_type="inner", num_partitions=adaptive_partitions(16),
+            on=("o_custkey",), right_on=("c_custkey",),
+        )
+        names_arr = np.array(nation_names, dtype=object)
+
+        def to_name(t: pa.Table) -> pa.Table:
+            idx = code_to_idx[t.column("c_nationkey").to_numpy(zero_copy_only=False)]
+            ok = idx >= 0
+            pt = pa.table(
+                {
+                    "n_name": pa.array(names_arr[idx[ok]], pa.string()),
+                    "revenue": pa.array(t.column("revenue").to_numpy()[ok]),
+                }
+            )
             g = pt.group_by(["n_name"]).aggregate([("revenue", "sum")])
             return g.rename_columns(["n_name", "revenue"])
 
-        out = joined.map_batches(partial_join, batch_format="pyarrow", batch_size=None).groupby("n_name").aggregate(
+        out = with_nation.map_batches(to_name, batch_format="pyarrow", batch_size=None).groupby("n_name").aggregate(
             Sum("revenue", alias_name="revenue")
         )
     return out.map_batches(

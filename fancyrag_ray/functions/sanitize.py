@@ -66,21 +66,29 @@ def sanitize_text(text: str, replacement: str = "***") -> str:
     return out
 
 
-def scrub_object(obj, replacement: str = "***", _seen: set | None = None):
-    """Deep redaction by key-name heuristic + value regexes; cycle-safe."""
-    seen = _seen if _seen is not None else set()
+def scrub_object(obj, replacement: str = "***", _path: set | None = None):
+    """Deep redaction by key-name heuristic + value regexes; cycle-safe.
+
+    Cycle detection tracks ids on the *current recursion path* only
+    (added on entry, discarded on exit), so a container shared in two
+    places (a DAG, not a cycle) is scrubbed normally in both — only a
+    true cycle is replaced."""
+    path = _path if _path is not None else set()
     oid = id(obj)
     if isinstance(obj, (dict, list, tuple)):
-        if oid in seen:
+        if oid in path:
             return replacement
-        seen.add(oid)
-    if isinstance(obj, Mapping):
-        return {
-            k: (replacement if _SECRET_KEY_RE.search(str(k)) else scrub_object(v, replacement, seen))
-            for k, v in obj.items()
-        }
-    if isinstance(obj, (list, tuple)):
-        return type(obj)(scrub_object(v, replacement, seen) for v in obj)
+        path.add(oid)
+    try:
+        if isinstance(obj, Mapping):
+            return {
+                k: (replacement if _SECRET_KEY_RE.search(str(k)) else scrub_object(v, replacement, path))
+                for k, v in obj.items()
+            }
+        if isinstance(obj, (list, tuple)):
+            return type(obj)(scrub_object(v, replacement, path) for v in obj)
+    finally:
+        path.discard(oid)
     if isinstance(obj, str):
         return sanitize_text(obj, replacement)
     return obj
@@ -101,4 +109,8 @@ def fs_safe_name(name: str, max_len: int = 120) -> str:
 
 
 def token_estimate(text: str) -> int:
+    """``max(1, ceil(len/4))``; empty text → 0 (reference
+    ``evaluator.py:353-358``)."""
+    if not text:
+        return 0
     return max(1, math.ceil(len(text) / 4))

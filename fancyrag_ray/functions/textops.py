@@ -79,10 +79,16 @@ def token_stats_by_source(sf_dir: str) -> rd.Dataset:
     )
 
     def finish(t: pa.Table) -> pa.Table:
+        # Integer micro-tokens: float means serialize differently across
+        # engines (driver hash is representation-sensitive), so the mean is
+        # emitted as round(mean * 1e6) BIGINT on both Ray and oracle sides.
         mean = pc.round(
-            pc.divide(t.column("total_tokens").cast(pa.float64()), t.column("n_docs").cast(pa.float64())), 6
-        )
-        return t.append_column("mean_tokens", mean)
+            pc.multiply(
+                pc.divide(t.column("total_tokens").cast(pa.float64()), t.column("n_docs").cast(pa.float64())),
+                pa.scalar(1e6),
+            )
+        ).cast(pa.int64())
+        return t.append_column("mean_tokens_micro", mean)
 
     return out.map_batches(finish, batch_format="pyarrow")
 
@@ -92,8 +98,8 @@ WITH d AS (
   SELECT source, GREATEST(1, CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT)) AS tokens
   FROM documents
 )
-SELECT source, COUNT(*) AS n_docs, SUM(tokens) AS total_tokens, MAX(tokens) AS max_tokens,
-       ROUND(CAST(SUM(tokens) AS DOUBLE) / COUNT(*), 6) AS mean_tokens
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS total_tokens, MAX(tokens) AS max_tokens,
+       CAST(ROUND(CAST(SUM(tokens) AS DOUBLE) / COUNT(*) * 1e6) AS BIGINT) AS mean_tokens_micro
 FROM d GROUP BY source
 """
 

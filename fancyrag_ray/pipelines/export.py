@@ -63,33 +63,55 @@ def export_embeddings(
     validate dims, and push through the batched sink. Returns the total
     points upserted.
 
-    The metadata side is broadcast (``ray.put`` once, dict probe per
-    batch) rather than joined: pyarrow's hash join rejects
-    ``fixed_size_list`` payload columns, and the metadata map is small
-    relative to the vectors. At a scale where it isn't, bucket both
-    sides by ``hash(chunk_uid)`` and zip buckets pairwise."""
-    import ray
+    Fully distributed: metadata attaches via a hash-partitioned
+    ``Dataset.join`` on ``chunk_uid`` — no driver-side materialization
+    of either side. The hash join rejects ``fixed_size_list`` payload
+    columns, so each vector rides through the join as a binary blob
+    (dim × 4 bytes, zero-copy numpy view on both ends) and is restored
+    to ``fixed_size_list<float32>`` after."""
+    import numpy as np
 
-    meta_df = chunks.select_columns(["chunk_uid", "doc_id", "seq", "text"]).to_pandas()
-    meta_ref = ray.put(
-        {
-            u: (d, int(s), t)
-            for u, d, s, t in zip(meta_df["chunk_uid"], meta_df["doc_id"], meta_df["seq"], meta_df["text"])
-        }
+    from ..util import adaptive_partitions
+
+    width = expected_dim * 4
+
+    def pack(batch: pa.Table) -> pa.Table:
+        validate_embedding_dim(batch, expected_dim)
+        col = batch.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.values.to_numpy(zero_copy_only=False).astype(np.float32, copy=False)
+        n = batch.num_rows
+        offsets = pa.py_buffer((np.arange(n + 1, dtype=np.int32) * width).tobytes())
+        blob_arr = pa.Array.from_buffers(pa.binary(), n, [None, offsets, pa.py_buffer(flat.tobytes())])
+        return pa.table({"chunk_uid": batch.column("chunk_uid"), "emb_blob": blob_arr})
+
+    packed = embeddings.map_batches(pack, batch_format="pyarrow")
+    meta = chunks.select_columns(["chunk_uid", "doc_id", "seq", "text"])
+    joined = packed.join(
+        meta, join_type="inner", num_partitions=adaptive_partitions(16),
+        on=("chunk_uid",), right_suffix="_m",
     )
-    doc_id_type = pa.array(meta_df["doc_id"].head(1)).type if len(meta_df) else pa.string()
 
-    def attach(batch: pa.Table) -> pa.Table:
-        meta = ray.get(meta_ref)
-        uids = batch.column("chunk_uid").to_pylist()
-        rows = [meta.get(u, (None, -1, "")) for u in uids]
-        return (
-            batch.append_column("doc_id", pa.array([r[0] for r in rows], doc_id_type))
-            .append_column("seq", pa.array([r[1] for r in rows], pa.int32()))
-            .append_column("text", pa.array([r[2] for r in rows], pa.string()))
-        )
+    def unpack(batch: pa.Table) -> pa.Table:
+        blob = batch.column("emb_blob")
+        if isinstance(blob, pa.ChunkedArray):
+            blob = blob.combine_chunks()
+        n = len(blob)
+        if n:
+            # vectorized gather honoring offsets (rows may be non-contiguous
+            # after the join's row re-ordering)
+            off = np.frombuffer(blob.buffers()[1], dtype=np.int32)[blob.offset : blob.offset + n + 1]
+            raw = np.frombuffer(blob.buffers()[2], dtype=np.uint8)
+            idx = (off[:-1].astype(np.int64)[:, None] + np.arange(width, dtype=np.int64)[None, :]).reshape(-1)
+            mat = raw[idx].view(np.float32)
+        else:
+            mat = np.empty(0, np.float32)
+        emb = pa.FixedSizeListArray.from_arrays(pa.array(mat, type=pa.float32()), expected_dim)
+        out = batch.drop_columns(["emb_blob"])
+        return out.append_column("embedding", emb)
 
-    ordered = embeddings.map_batches(attach, batch_format="pyarrow").sort(["doc_id", "seq"])
+    ordered = joined.map_batches(unpack, batch_format="pyarrow").sort(["doc_id", "seq"])
     counts = ordered.map_batches(
         ParquetUpsertSink,
         fn_constructor_kwargs={"out_dir": out_dir, "expected_dim": expected_dim},

@@ -171,22 +171,40 @@ def run_partition(
     alias_table: pa.Table | None = None,
 ) -> dict[str, int]:
     """Per-document phase for ONE input partition (file/fragment): chunk,
-    embed, extract, link; outputs land under ``{out_dir}/{table}/{pid}/``."""
+    embed, extract, link; outputs land under ``{out_dir}/{table}/{pid}/``.
+
+    Crash-safe: all three tables are written under ``{out_dir}/_tmp/…``
+    first, then renamed into place atomically (per table) immediately
+    before the caller commits the manifest record. Ray's write_parquet
+    APPENDS part files, so re-writing into a half-written directory from
+    a previous crash would double rows — stale final dirs are removed
+    before the rename, and the tmp root keeps partials out of the global
+    phase's ``read_table(out_dir/linked)`` glob."""
+    import shutil
+
     docs = read_table(docs_file)
+    tmp_root = os.path.join(out_dir, "_tmp", partition_id)
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    tmp = {t: os.path.join(tmp_root, t) for t in ("chunks", "embeddings", "linked")}
+    final = {t: os.path.join(out_dir, t, partition_id) for t in tmp}
+
     chunks = build_chunks(docs, cfg)
-    chunks_dir = os.path.join(out_dir, "chunks", partition_id)
-    write_table(chunks, chunks_dir)
+    write_table(chunks, tmp["chunks"])
     # re-read the partition's chunks so embed/extract stream from disk
-    chunks_pq = read_table(chunks_dir)
-    emb_dir = os.path.join(out_dir, "embeddings", partition_id)
-    write_table(build_embeddings(chunks_pq, cfg), emb_dir)
-    tri_dir = os.path.join(out_dir, "linked", partition_id)
+    chunks_pq = read_table(tmp["chunks"])
+    write_table(build_embeddings(chunks_pq, cfg), tmp["embeddings"])
     linked = link_triples(build_triples(chunks_pq, cfg, schema), alias_table, cfg)
-    write_table(linked, tri_dir)
-    return {
-        "chunks": read_table(chunks_dir).count(),
-        "linked": read_table(tri_dir).count(),
+    write_table(linked, tmp["linked"])
+    counts = {
+        "chunks": read_table(tmp["chunks"]).count(),
+        "linked": read_table(tmp["linked"]).count(),
     }
+    for t in tmp:
+        shutil.rmtree(final[t], ignore_errors=True)  # stale partial from a crashed run
+        os.makedirs(os.path.dirname(final[t]), exist_ok=True)
+        os.rename(tmp[t], final[t])
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    return counts
 
 
 def annotate_provenance(ds: rd.Dataset, **constants) -> rd.Dataset:
@@ -231,10 +249,17 @@ def run_kg_build_resumable(
         manifest.commit(PartitionRecord(partition_id=pid, status="done", rows=counts["chunks"], extra=counts))
         done_count += 1
 
-    # Global phase over all completed partition outputs.
+    # Global phase over all completed partition outputs. The global
+    # tables are derived (recomputed on every run, including resume), so
+    # clear them first — write_parquet APPENDS part files and a re-run
+    # would otherwise double every node/edge row.
+    import shutil
+
     linked = read_table(os.path.join(out_dir, "linked"))
     nodes = nodes_from_linked_triples(linked)
     edges = edges_from_linked_triples(linked)
+    for t in ("nodes", "edges"):
+        shutil.rmtree(os.path.join(out_dir, t), ignore_errors=True)
     write_table(nodes, os.path.join(out_dir, "nodes"))
     write_table(edges, os.path.join(out_dir, "edges"))
     result = {

@@ -115,19 +115,24 @@ def evaluate(
         ).count()
 
     n_nodes = nodes.count()
-    # G5 orphan entities: nodes appearing in no edge (broadcast edge endpoints)
+    # G5 orphan entities: nodes appearing in no edge — anti-join against
+    # the union of edge endpoints (distinct per block first, so the
+    # endpoint stream is |distinct per block|, not |edges|·2). Goes
+    # through _anti_count, which broadcasts only below its 5M-key limit
+    # and hash-left-anti-joins above it — never an unbounded driver set.
     orphan_entities = 0
     if n_nodes:
-        endpoints: set = set()
-        for b in edges.select_columns(["src_id", "dst_id"]).iter_batches(batch_format="pyarrow"):
-            endpoints.update(b.column("src_id").to_pylist())
-            endpoints.update(b.column("dst_id").to_pylist())
+        def endpoint_rows(t: pa.Table) -> pa.Table:
+            both = pa.concat_arrays(
+                [t.column("src_id").combine_chunks().cast(pa.string()),
+                 t.column("dst_id").combine_chunks().cast(pa.string())]
+            )
+            return pa.table({"endpoint": both.unique()})
 
-        def orphan(t: pa.Table) -> pa.Table:
-            mask = pa.array([v not in endpoints for v in t.column("entity_id").to_pylist()], pa.bool_())
-            return t.filter(mask)
-
-        orphan_entities = nodes.select_columns(["entity_id"]).map_batches(orphan, batch_format="pyarrow").count()
+        endpoints_ds = edges.select_columns(["src_id", "dst_id"]).map_batches(
+            endpoint_rows, batch_format="pyarrow", batch_size=None
+        )
+        orphan_entities = _anti_count(nodes, "entity_id", endpoints_ds, "endpoint")
 
     # G6/G7 token stats over chunk text
     edges_hist = [64, 128, 256, 512, 1024, 2048]

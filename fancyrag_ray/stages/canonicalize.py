@@ -79,14 +79,23 @@ def connected_components(
     edges: rd.Dataset,
     src_col: str = "src",
     dst_col: str = "dst",
-    max_rounds: int = 10,
+    max_rounds: int = 25,
     driver_threshold: int = 2_000_000,
     num_partitions: int = 16,
 ) -> rd.Dataset:
     """Return (node, component) with component = min node id reachable.
 
-    Distributed hash-min label propagation; falls back to driver-side
-    union-find when the edge set is small (post-LSH candidate graphs).
+    Distributed hash-min label propagation with POINTER DOUBLING — each
+    round also shortcuts ``L(v) ← L(L(v))``, so convergence takes
+    O(log diameter) rounds instead of O(diameter); ``max_rounds=25``
+    covers any graph that fits on a cluster. If the loop ever exits with
+    labels still changing, a RuntimeError is raised rather than silently
+    returning wrong component ids. Hot-key skew (star centers) is
+    blunted by a per-block partial min-combine before every groupby, so
+    a mega-hub contributes one row per block to the shuffle.
+
+    Falls back to driver-side union-find when the edge set is small
+    (post-LSH candidate graphs).
     """
     n_edges = edges.count()
     if n_edges == 0:
@@ -119,18 +128,47 @@ def connected_components(
 
     labels = labels.map_batches(keep_min, batch_format="pyarrow").materialize()
     parts = adaptive_partitions(num_partitions, n_rows=labels.count())
+
+    def partial_min(t: pa.Table) -> pa.Table:
+        # per-block combine: a hot node's messages collapse to one row
+        # per block before the shuffle
+        g = t.group_by(["node"]).aggregate([("component", "min")])
+        return g.rename_columns(["node", "component"])
+
+    converged = False
     for _ in range(max_rounds):
         # message pass: neighbor's current component → each node
         msgs = und.join(
             labels, join_type="inner", num_partitions=parts,
             on=("nbr",), right_on=("node",), right_suffix="_r",
         ).select_columns(["node", "component"])
-        self_msgs = labels
         new_labels = (
-            msgs.union(self_msgs)
+            msgs.union(labels)
+            .map_batches(partial_min, batch_format="pyarrow", batch_size=None)
             .groupby("node")
             .aggregate(Min("component", alias_name="component"))
-        ).materialize()
+        )
+        # pointer doubling: L(v) ← min(L(v), L(L(v))). Every component
+        # value is itself a node in `labels`, so the inner join is total.
+        new_labels = (
+            new_labels.join(
+                new_labels, join_type="left_outer", num_partitions=parts,
+                on=("component",), right_on=("node",), left_suffix="", right_suffix="_hop",
+            )
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t.column("node"),
+                        "component": pc.min_element_wise(
+                            t.column("component"),
+                            pc.coalesce(t.column("component_hop"), t.column("component")),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
         # convergence: stop when no label shrank this round
         changed = (
             new_labels.join(
@@ -145,5 +183,11 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            "(graph diameter exceeds 2^rounds — raise max_rounds)"
+        )
     return labels

@@ -59,6 +59,12 @@ class TestSanitize:
         out = scrub_object(d)
         assert out["self"] == "***"
 
+    def test_scrub_shared_dag_not_redacted(self):
+        shared = {"v": "fine"}
+        obj = {"a": shared, "b": shared}
+        out = scrub_object(obj)
+        assert out["a"] == {"v": "fine"} and out["b"] == {"v": "fine"}
+
     def test_mask_base_url(self):
         assert mask_base_url("https://u:p@api.example.com/v1/chat?x=1") == "https://api.example.com/***"
         assert mask_base_url("https://api.example.com") == "https://api.example.com"
@@ -67,7 +73,7 @@ class TestSanitize:
         assert fs_safe_name("a b/c:d") == "a-b-c-d"
 
     def test_token_estimate(self):
-        assert token_estimate("") == 1
+        assert token_estimate("") == 0
         assert token_estimate("abcd" * 3) == 3
 
 
