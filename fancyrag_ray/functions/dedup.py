@@ -1,11 +1,14 @@
 """Near-duplicate detection over text: MinHash+LSH, SimHash, and n-gram
 Jaccard verification — the training-data-pipeline dedup suite.
 
-Shapes (all streaming, shuffle only on band/bucket keys):
-  MinHash-LSH: shingle → minhash signature per batch (vectorized numpy)
-  → explode to (band_id, band_hash, doc_id) rows → groupby the band key
-  → candidate pairs per bucket → exact Jaccard verify → connected
-  components → keep min doc per component.
+Shapes (all streaming, shuffle only on band/bucket keys; nothing
+corpus-sized reaches the driver):
+  MinHash-LSH: shingle → minhash signature ONCE per doc → explode to
+  slim (band_id, band_hash, doc_id) rows → semi-join to multi-member
+  buckets → signatures fetched by join → candidate pairs per bucket
+  (signature-estimate prefilter) → EXACT n-gram Jaccard verification on
+  text fetched by join → connected components → keep min doc per
+  component.
   SimHash: 64-bit weighted token fingerprint; near-dup iff Hamming
   distance ≤ k, found by banding the 64 bits into 4 tables (any match on
   a 16-bit band ⇒ candidate; guaranteed for hd ≤ 3 by pigeonhole).
@@ -22,6 +25,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..stages.canonicalize import connected_components
+from ..util import adaptive_partitions
 
 _M61 = (1 << 61) - 1
 
@@ -61,91 +65,149 @@ def minhash_lsh_duplicates(
     n_bands: int = 16,
     jaccard_threshold: float = 0.8,
     shingle_n: int = 3,
+    all_pairs_bucket_limit: int = 64,
+    est_margin: float = 0.1,
 ) -> rd.Dataset:
     """Returns (doc_id, keep) rows: one row per doc in a near-dup cluster,
-    with ``keep`` = the cluster's canonical (minimum) doc id."""
+    with ``keep`` = the cluster's canonical (minimum) doc id.
+
+    Scale shape (everything stays a Dataset — nothing corpus-sized ever
+    reaches the driver):
+      1. signatures computed ONCE per doc → small (doc_id, sig) table;
+      2. band rows carry only (band, band_hash, doc_id) — the 8×-bigger
+         signature is NOT duplicated into every band row;
+      3. multi-member buckets found by a count aggregate and applied as a
+         SEMI-JOIN on (band, band_hash) — no driver-side hot-key set;
+      4. signatures for surviving candidates fetched back by join;
+      5. per-bucket candidate pairs: all pairs for buckets ≤
+         ``all_pairs_bucket_limit`` members, star pairs (each member vs
+         the bucket minimum) above it — duplicate-heavy crawls produce
+         huge near-identical buckets where the star + connected
+         components recovers the cluster at O(m) instead of O(m²);
+      6. candidate pairs pass a signature-estimate prefilter at
+         ``threshold - est_margin`` and are then verified with EXACT
+         word-``shingle_n``-gram Jaccard on the two texts (fetched by
+         join; pairs ≪ corpus);
+      7. connected components over verified edges.
+    """
     assert n_hashes % n_bands == 0
     rows_per_band = n_hashes // n_bands
 
-    class BandEmitter:
+    class SigEmitter:
         def __init__(self):
             self.hasher = MinHasher(n_hashes=n_hashes)
 
         def __call__(self, t: pa.Table) -> pa.Table:
             ids = t.column(id_col).to_pylist()
             texts = t.column(text_col).to_pylist()
-            o_band, o_hash, o_id, o_sig = [], [], [], []
-            for d, x in zip(ids, texts):
-                sig = self.hasher.signature(_shingles(x or "", shingle_n))
-                sig_bytes = sig.tobytes()
-                for b in range(n_bands):
-                    band = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                    o_band.append(b)
-                    o_hash.append(hashlib.sha1(band.tobytes()).hexdigest()[:16])
-                    o_id.append(d)
-                    o_sig.append(sig_bytes)
-            return pa.table(
-                {
-                    "band": pa.array(o_band, pa.int32()),
-                    "band_hash": pa.array(o_hash, pa.string()),
-                    id_col: pa.array(o_id),
-                    "sig": pa.array(o_sig, pa.binary()),
-                }
-            )
+            sigs = [self.hasher.signature(_shingles(x or "", shingle_n)).tobytes() for x in texts]
+            return pa.table({id_col: pa.array([str(i) for i in ids], pa.string()),
+                             "sig": pa.array(sigs, pa.binary())})
 
-    bands = docs.select_columns([id_col, text_col]).map_batches(
-        BandEmitter, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4)
-    ).materialize()  # consumed twice: bucket-size scan + filtered pair walk
-
-    # Bucket-size prefilter: near-dup buckets are sparse, so find the
-    # multi-member (band, band_hash) keys with a cheap count aggregate,
-    # broadcast that small set, and run the O(n²) pair verification ONLY
-    # on rows in those buckets. Without this, map_groups pays a Python
-    # call per bucket across millions of singleton buckets.
-    from ray.data.aggregate import Count as _Count
-
-    counts = (
-        bands.select_columns(["band", "band_hash"])
-        .groupby(["band", "band_hash"])
-        .aggregate(_Count(alias_name="n"))
-    )
-    hot = counts.map_batches(
-        lambda t: t.filter(pa.compute.greater(t.column("n"), pa.scalar(1))).select(["band", "band_hash"]),
+    texts = docs.select_columns([id_col, text_col]).map_batches(
+        lambda t: pa.table({id_col: t.column(id_col).cast(pa.string()), text_col: t.column(text_col)}),
         batch_format="pyarrow",
-    ).to_pandas()
-    hot_keys = set(zip(hot["band"].tolist(), hot["band_hash"].tolist()))
-    if not hot_keys:
-        return rd.from_arrow(
-            pa.table({"doc_id": pa.array([], pa.string()), "keep": pa.array([], pa.string())})
+    ).materialize()
+    sigs = texts.map_batches(
+        SigEmitter, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4)
+    ).materialize()  # small: one 8·n_hashes-byte row per doc
+
+    def explode_bands(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        o_band, o_hash, o_id = [], [], []
+        for d, s in zip(ids, t.column("sig").to_pylist()):
+            sig = np.frombuffer(s, dtype=np.uint64)
+            for b in range(n_bands):
+                band = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                o_band.append(b)
+                o_hash.append(hashlib.sha1(band.tobytes()).hexdigest()[:16])
+                o_id.append(d)
+        return pa.table(
+            {
+                "band": pa.array(o_band, pa.int32()),
+                "band_hash": pa.array(o_hash, pa.string()),
+                id_col: pa.array(o_id, pa.string()),
+            }
         )
 
-    def only_hot(t: pa.Table) -> pa.Table:
-        b = t.column("band").to_pylist()
-        h = t.column("band_hash").to_pylist()
-        mask = pa.array([(x, y) in hot_keys for x, y in zip(b, h)], pa.bool_())
-        return t.filter(mask)
+    bands = sigs.map_batches(explode_bands, batch_format="pyarrow").materialize()
 
-    bands = bands.map_batches(only_hot, batch_format="pyarrow")
+    # Bucket-size prefilter as a SEMI-JOIN: near-dup buckets are sparse,
+    # so keep only rows of multi-member (band, band_hash) buckets. The
+    # alternative (driver-side set of hot keys) is unbounded on a
+    # duplicate-heavy crawl.
+    from ray.data.aggregate import Count as _Count
+
+    def _multi_filter(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.compute.greater(t.column("n"), pa.scalar(1)))
+        # the groupby aggregate promotes int32 keys to int64; the join
+        # requires identical key dtypes on both sides
+        return pa.table({"band": t.column("band").cast(pa.int32()), "band_hash": t.column("band_hash")})
+
+    multi = (
+        bands.groupby(["band", "band_hash"])
+        .aggregate(_Count(alias_name="n"))
+        .map_batches(_multi_filter, batch_format="pyarrow")
+    )
+    n_multi = multi.count()
+    if n_multi == 0:
+        return pa.table({"doc_id": pa.array([], pa.string()), "keep": pa.array([], pa.string())})
+    parts = adaptive_partitions(16, n_rows=n_multi)
+    hot_rows = bands.join(multi, join_type="inner", num_partitions=parts, on=("band", "band_hash"))
+    cand = hot_rows.join(sigs, join_type="inner", num_partitions=parts, on=(id_col,))
 
     def candidate_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"src": pd.Series(dtype=object), "dst": pd.Series(dtype=object)})
         if len(df) < 2:
-            return pd.DataFrame({"src": pd.Series(dtype=object), "dst": pd.Series(dtype=object)})
-        df = df.sort_values(id_col)
+            return empty
+        df = df.drop_duplicates(id_col).sort_values(id_col)
+        if len(df) < 2:
+            return empty
         ids = df[id_col].tolist()
-        sigs = [np.frombuffer(s, dtype=np.uint64) for s in df["sig"]]
+        sigs_ = [np.frombuffer(s, dtype=np.uint64) for s in df["sig"]]
         src, dst = [], []
-        # verify candidates by estimated Jaccard from full signatures
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j]:
-                    continue
-                est = float((sigs[i] == sigs[j]).mean())
-                if est >= jaccard_threshold:
-                    src.append(str(ids[i]))
-                    dst.append(str(ids[j]))
+        lo = jaccard_threshold - est_margin
+
+        def emit(i, j):
+            est = float((sigs_[i] == sigs_[j]).mean())
+            if est >= lo:
+                src.append(ids[i])
+                dst.append(ids[j])
+
+        if len(ids) <= all_pairs_bucket_limit:
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    emit(i, j)
+        else:  # duplicate-heavy bucket: star around the minimum member
+            for j in range(1, len(ids)):
+                emit(0, j)
         return pd.DataFrame({"src": src, "dst": dst}).astype({"src": object, "dst": object})
 
-    edges = bands.groupby(["band", "band_hash"]).map_groups(candidate_pairs, batch_format="pandas")
+    pairs = cand.groupby(["band", "band_hash"]).map_groups(candidate_pairs, batch_format="pandas")
+    # a pair surfaces in up to n_bands buckets → dedup before the text join
+    pairs = pairs.groupby(["src", "dst"]).aggregate(_Count(alias_name="_n")).select_columns(["src", "dst"])
+
+    # exact verification on text (advice parity: the docstring's "exact
+    # Jaccard verify" is now true — estimates only prefilter)
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return pa.table({"doc_id": pa.array([], pa.string()), "keep": pa.array([], pa.string())})
+    pparts = adaptive_partitions(16, n_rows=n_pairs)
+    with_src = pairs.join(
+        texts, join_type="inner", num_partitions=pparts, on=("src",), right_on=(id_col,)
+    ).rename_columns({text_col: "_text_src"})
+    with_both = with_src.join(
+        texts, join_type="inner", num_partitions=pparts, on=("dst",), right_on=(id_col,)
+    ).rename_columns({text_col: "_text_dst"})
+
+    def verify(t: pa.Table) -> pa.Table:
+        keep = [
+            ngram_jaccard(a or "", b or "", shingle_n) >= jaccard_threshold
+            for a, b in zip(t.column("_text_src").to_pylist(), t.column("_text_dst").to_pylist())
+        ]
+        return t.filter(pa.array(keep, pa.bool_())).select(["src", "dst"])
+
+    edges = with_both.map_batches(verify, batch_format="pyarrow")
     comps = connected_components(edges, src_col="src", dst_col="dst")
     return comps.rename_columns({"node": "doc_id", "component": "keep"})
 
@@ -212,34 +274,34 @@ def simhash_duplicates(
         Emit, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4)
     ).materialize()
 
-    # same bucket-size prefilter as MinHash-LSH: only multi-member
-    # (band, key) buckets reach the per-bucket pair check
+    # same bucket-size prefilter as MinHash-LSH, applied as a semi-join
+    # (a driver-side hot-key set is unbounded on duplicate-heavy crawls)
     from ray.data.aggregate import Count as _Count
 
-    counts = bands.select_columns(["band", "key"]).groupby(["band", "key"]).aggregate(_Count(alias_name="n"))
-    hot = counts.map_batches(
-        lambda t: t.filter(pa.compute.greater(t.column("n"), pa.scalar(1))).select(["band", "key"]),
-        batch_format="pyarrow",
-    ).to_pandas()
-    hot_keys = set(zip(hot["band"].tolist(), hot["key"].tolist()))
-    if not hot_keys:
-        return rd.from_arrow(
-            pa.table(
-                {
-                    "doc_a": pa.array([], pa.string()),
-                    "doc_b": pa.array([], pa.string()),
-                    "hamming": pa.array([], pa.int64()),
-                }
-            )
+    def _multi_filter(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.compute.greater(t.column("n"), pa.scalar(1)))
+        # groupby promotes int32 keys to int64; join needs matching dtypes
+        return pa.table({"band": t.column("band").cast(pa.int32()), "key": t.column("key").cast(pa.int64())})
+
+    multi = (
+        bands.select_columns(["band", "key"])
+        .groupby(["band", "key"])
+        .aggregate(_Count(alias_name="n"))
+        .map_batches(_multi_filter, batch_format="pyarrow")
+    )
+    n_multi = multi.count()
+    if n_multi == 0:
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.string()),
+                "doc_b": pa.array([], pa.string()),
+                "hamming": pa.array([], pa.int64()),
+            }
         )
-
-    def only_hot(t: pa.Table) -> pa.Table:
-        b = t.column("band").to_pylist()
-        k = t.column("key").to_pylist()
-        mask = pa.array([(x, y) in hot_keys for x, y in zip(b, k)], pa.bool_())
-        return t.filter(mask)
-
-    bands = bands.map_batches(only_hot, batch_format="pyarrow")
+    bands = bands.join(
+        multi, join_type="inner", num_partitions=adaptive_partitions(16, n_rows=n_multi),
+        on=("band", "key"),
+    )
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_d = [], [], []

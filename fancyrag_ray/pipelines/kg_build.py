@@ -270,11 +270,15 @@ def run_kg_build_resumable(
         "nodes_dir": os.path.join(out_dir, "nodes"),
         "edges_dir": os.path.join(out_dir, "edges"),
     }
+    from ..stages.llm_extractor import collect_metrics
     from ..state.manifest import resolve_git_commit, write_run_log
 
     write_run_log(
         os.path.join(out_dir, "run_log.json"),
         {**result, "git_commit": resolve_git_commit(), "profile": cfg.profile.name,
-         "partitions": [p for p, _ in partitions]},
+         "partitions": [p for p, _ in partitions],
+         # A6: per-actor model-client counters aggregated by the named
+         # metrics actor (empty when no model-backed stage ran)
+         "model_metrics": collect_metrics()},
     )
     return result

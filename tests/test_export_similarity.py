@@ -85,3 +85,47 @@ class TestAnnRecall:
 
         got = set(knn_cosine(SF).to_pandas()["vec_id"])
         assert got == self._brute()
+
+
+class TestEmbeddingNearDup:
+    def _write(self, tmp_path, m):
+        import pyarrow as pa
+
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(len(m)), pa.int64()),
+                "embedding": pa.array([row.tolist() for row in m]),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+        return str(tmp_path)
+
+    def test_planted_duplicates_found(self, ray_session, tmp_path):
+        from fancyrag_ray.functions.similarity import embedding_near_duplicates
+
+        rng = np.random.default_rng(0)
+        m = rng.standard_normal((400, 16))
+        m[100] = m[7]                                      # exact duplicate
+        m[200] = m[7] + 0.02 * rng.standard_normal(16)     # near duplicate
+        sf = self._write(tmp_path, m)
+        out = embedding_near_duplicates(sf, threshold=0.95).to_pandas()
+        pairs = set(zip(out["vec_a"], out["vec_b"]))
+        assert (7, 100) in pairs
+        assert (7, 200) in pairs
+        # random 16-d pairs at cos >= 0.95 are vanishingly rare
+        assert len(pairs) < 20
+
+    def test_duplicate_heavy_bucket_skew(self, ray_session, tmp_path):
+        """A mega-cluster (1000 identical vectors) must complete via the
+        star cap and keep every member connected to the cluster."""
+        from fancyrag_ray.functions.similarity import embedding_near_duplicates
+
+        rng = np.random.default_rng(1)
+        base = rng.standard_normal(16)
+        m = np.vstack([np.tile(base, (1000, 1)), rng.standard_normal((300, 16))])
+        sf = self._write(tmp_path, m)
+        out = embedding_near_duplicates(sf, threshold=0.99, pair_cap_per_bucket=32).to_pandas()
+        members = set(out["vec_a"]) | set(out["vec_b"])
+        assert set(range(1000)) <= members
+        # star cap bounds pair count far below the 1000*999/2 clique
+        assert len(out) < 40_000
