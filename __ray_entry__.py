@@ -73,6 +73,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         est = approx_distinct(ds, "o_custkey")
         return pa.table({"approx_distinct_custkey": pa.array([int(round(est))], pa.int64())})
 
+    def kg_llm_extract_triples(sf_dir: str):
+        """A3 LLM-backed extraction end-to-end over driver documents: the
+        deterministic fake transport drives the full actor-pool path
+        (prompt → SharedModelClient retry policy → Responses-payload
+        parse → fence strip → strict-schema validation → closed-world
+        triples). No SQL oracle: multi-stage, model-backed."""
+        import ray.data as rd
+
+        from fancyrag_ray.config import PipelineConfig
+        from fancyrag_ray.pipelines.kg_build import build_chunks
+        from fancyrag_ray.sources.io import interleave_documents
+        from fancyrag_ray.stages.fake_llm import DeterministicLlmTransport
+        from fancyrag_ray.stages.llm_extractor import build_triples_llm
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        inter = docs.map_batches(interleave_documents, batch_format="pyarrow")
+        chunks = build_chunks(inter, PipelineConfig())
+
+        def transport_factory():
+            return DeterministicLlmTransport(emit_cooccurrence=True)
+
+        return build_triples_llm(
+            chunks, transport_factory, model="deterministic-fake", metrics_actor=None
+        )
+
     def kg_flagship_edges(sf_dir: str):
         import ray.data as rd
 
@@ -96,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_balance_by_region": R.supplier_balance_by_region,
         "distinct_order_priorities": R.distinct_order_priorities,
         "events_sessions": R.events_sessions,
+        "events_sessions_sharded": R.events_sessions_sharded,
         # KG per-document stages (SURVEY §2.1-2.3, §2.7-2.8)
         "chunk_documents": T.chunk_documents,
         "token_stats_by_source": T.token_stats_by_source,
@@ -116,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_customers": approx_distinct_customers,
         # flagship end-to-end on driver data (no SQL oracle: multi-stage)
         "kg_flagship_edges": kg_flagship_edges,
+        "kg_llm_extract_triples": kg_llm_extract_triples,
     }
 
 
@@ -135,6 +162,7 @@ def oracle_sql() -> dict[str, str]:
         "supplier_balance_by_region": R.SUPPLIER_BALANCE_BY_REGION_SQL,
         "distinct_order_priorities": R.DISTINCT_ORDER_PRIORITIES_SQL,
         "events_sessions": R.EVENTS_SESSIONS_SQL,
+        "events_sessions_sharded": R.EVENTS_SESSIONS_SQL,
         "chunk_documents": T.CHUNK_DOCUMENTS_SQL,
         "token_stats_by_source": T.TOKEN_STATS_BY_SOURCE_SQL,
         "token_histogram": T.TOKEN_HISTOGRAM_SQL,

@@ -62,27 +62,47 @@ def _scaling(lo: int | None = None, hi: int | None = None) -> None:
     # barriers) masks the CPU difference. Use a larger corpus for the
     # two-level run unless the caller pinned one.
     scaling_docs = os.environ.get("GRAFT_SCALING_DOCS", "1000000")
-    results = {}
-    for n in (lo, hi):
+
+    def run_level(n: int, reps: str) -> dict:
         # headline only, repeated; min over reps rejects noisy-neighbor
         # CPU-steal spikes on this shared host
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n), PYTHONPATH=REPO,
                    GRAFT_BENCH_DOCS=scaling_docs, GRAFT_HEADLINE_ONLY="1",
-                   GRAFT_BENCH_REPS=os.environ.get("GRAFT_BENCH_REPS", "3"))
+                   GRAFT_BENCH_REPS=reps)
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env, capture_output=True, text=True, check=True, cwd=REPO,
         ).stdout
-        results[n] = json.loads(out.strip().splitlines()[-1])
+        return json.loads(out.strip().splitlines()[-1])
+
+    reps = os.environ.get("GRAFT_BENCH_REPS", "3")
+    results = {n: run_level(n, reps) for n in (lo, hi)}
     t_lo, t_hi = results[lo]["headline_sec"], results[hi]["headline_sec"]
     tp_lo, tp_hi = results[lo]["value"], results[hi]["value"]
     eff = (t_lo / t_hi) / (hi / lo)
-    print(json.dumps({
+    payload = {
         "metric": "scaling_efficiency", "value": round(eff, 3), "unit": "speedup_fraction",
         "sf": SF_DIR, "cpus_lo": lo, "cpus_hi": hi,
         "sec_lo": round(t_lo, 2), "sec_hi": round(t_hi, 2),
         "triples_per_sec_lo": round(tp_lo, 1), "triples_per_sec_hi": round(tp_hi, 1),
-    }))
+    }
+    # Transparency companion (VERDICT r1 §Next-8): the 8→32 levels are
+    # also published even though this host's 32 vCPUs are SMT-shared
+    # (~16 real cores; the pure-Python control farm itself only reaches
+    # 0.70-0.73 from 8→32 — see BASELINE.md), so the 8/32 number is a
+    # machine-ceiling-bounded floor, not the engine's scaling.
+    if os.environ.get("GRAFT_SCALE_SECONDARY", "1") != "0":
+        sec_lo_n, sec_hi_n = 8, 32
+        sec = {n: run_level(n, os.environ.get("GRAFT_BENCH_REPS_SECONDARY", "2"))
+               for n in (sec_lo_n, sec_hi_n)}
+        s_lo, s_hi = sec[sec_lo_n]["headline_sec"], sec[sec_hi_n]["headline_sec"]
+        payload["secondary_8_32"] = {
+            "cpus_lo": sec_lo_n, "cpus_hi": sec_hi_n,
+            "sec_lo": round(s_lo, 2), "sec_hi": round(s_hi, 2),
+            "efficiency": round((s_lo / s_hi) / (sec_hi_n / sec_lo_n), 3),
+            "note": "SMT/vCPU-shared host: pure-CPU control farm caps at 0.70-0.73 on 8->32",
+        }
+    print(json.dumps(payload))
 
 
 def main() -> None:
@@ -153,14 +173,47 @@ def main() -> None:
         headline_sec = rep_sec if headline_sec is None else min(headline_sec, rep_sec)
     triples_per_sec = n_triples / headline_sec
 
-    # triple P/R vs the generator's goldens (distinct doc-level facts)
-    got_df = linked.select_columns(["doc_id", "subj_canonical", "pred", "obj_canonical"]).to_pandas()
-    got = set(map(tuple, got_df.itertuples(index=False)))
-    g = pq.read_table(f"{corpus_dir}/golden_triples.parquet").to_pandas()
-    want = set(zip(g["doc_id"], g["subj"], g["pred"], g["obj"]))
-    tp = len(got & want)
-    precision = tp / max(1, len(got))
-    recall = tp / max(1, len(want))
+    # triple P/R vs the generator's goldens — fully distributed (the
+    # former linked.to_pandas() pulled the whole triple stream onto the
+    # driver; at 100× corpora that is a driver OOM). Distinct facts via
+    # per-block dedup + groupby; tp via inner join against the goldens.
+    import pyarrow as pa
+
+    fact_cols = ["doc_id", "subj_canonical", "pred", "obj_canonical"]
+
+    def _block_distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(fact_cols).aggregate([])
+
+    from ray.data.aggregate import Count as _Count
+
+    distinct_got = (
+        linked.select_columns(fact_cols)
+        .map_batches(_block_distinct, batch_format="pyarrow", batch_size=None)
+        .groupby(fact_cols)
+        .aggregate(_Count(alias_name="_n"))
+        .select_columns(fact_cols)
+        .materialize()
+    )
+    n_got = distinct_got.count()
+    gold_cols = ["doc_id", "subj", "pred", "obj"]
+    goldens = (
+        rd.read_parquet(f"{corpus_dir}/golden_triples.parquet", columns=gold_cols)
+        .map_batches(lambda t: t.group_by(gold_cols).aggregate([]), batch_format="pyarrow", batch_size=None)
+        .groupby(gold_cols)
+        .aggregate(_Count(alias_name="_n"))
+        .select_columns(gold_cols)
+        .materialize()
+    )  # goldens record every planting; P/R is over DISTINCT doc-level facts
+    n_gold = goldens.count()
+    from fancyrag_ray.util import adaptive_partitions
+
+    tp = distinct_got.join(
+        goldens, join_type="inner", num_partitions=adaptive_partitions(16, n_rows=n_got),
+        on=("doc_id", "subj_canonical", "pred", "obj_canonical"),
+        right_on=("doc_id", "subj", "pred", "obj"),
+    ).count()
+    precision = tp / max(1, n_got)
+    recall = tp / max(1, n_gold)
 
     # ---- operator suite (skipped in headline-only scaling children) ----
     queries: dict = {}

@@ -410,6 +410,89 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+def events_sessions_sharded(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
+    """Scale-safe sessionization: identical semantics (and oracle) to
+    ``events_sessions``, but no per-user single-group assumption.
+
+    Two phases, both BUCKET-vectorized (one Python call per hash bucket,
+    vectorized pandas groupby inside — thousands of per-(user,day)
+    Python calls would dominate otherwise):
+      1. shuffle on ``hash(user, day) % N`` — a bot-scale hot user's
+         stream splits across its days instead of landing on one
+         reducer; inside each bucket, sessions per (user, day) computed
+         with vectorized shift/cumsum;
+      2. shuffle the per-shard SESSION SUMMARY rows (O(sessions), not
+         O(events)) on ``hash(user) % N``; adjacent shards' boundary
+         sessions merge when the cross-shard gap ≤ ``gap_minutes`` and
+         session ids renumber 1..k per user by t_start."""
+    import zlib
+
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+    n_buckets = adaptive_partitions(64)
+
+    def add_keys(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t.column("ts"), unit="day")
+        users = t.column("user_id").to_pylist()
+        days = day.to_pylist()
+        bucket = pa.array(
+            [zlib.crc32(f"{u}|{d}".encode()) % n_buckets for u, d in zip(users, days)], pa.int32()
+        )
+        return t.append_column("day", day).append_column("bucket", bucket)
+
+    def bucket_segments(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "day", "ts"], kind="mergesort")
+        same = (g["user_id"] == g["user_id"].shift()) & (g["day"] == g["day"].shift())
+        new_s = ~(same & (g["ts"].diff() <= gap))
+        g = g.assign(_sid=new_s.cumsum())
+        out = g.groupby("_sid", as_index=False).agg(
+            user_id=("user_id", "first"),
+            n_events=("ts", "size"),
+            t_start=("ts", "min"),
+            t_end=("ts", "max"),
+            sum_value=("value", "sum"),
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[["user_id", "n_events", "t_start", "t_end", "sum_value"]]
+
+    segments = (
+        ds.map_batches(add_keys, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_segments, batch_format="pandas")
+    )
+
+    def add_user_bucket(t: pa.Table) -> pa.Table:
+        bucket = pa.array(
+            [zlib.crc32(str(u).encode()) % n_buckets for u in t.column("user_id").to_pylist()], pa.int32()
+        )
+        return t.append_column("ubucket", bucket)
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "t_start"], kind="mergesort")
+        same_user = g["user_id"] == g["user_id"].shift()
+        boundary = ~(same_user & (g["t_start"] - g["t_end"].shift() <= gap))
+        g = g.assign(_sid=boundary.cumsum())
+        out = g.groupby("_sid", as_index=False).agg(
+            user_id=("user_id", "first"),
+            n_events=("n_events", "sum"),
+            t_start=("t_start", "min"),
+            t_end=("t_end", "max"),
+            sum_value=("sum_value", "sum"),
+        )
+        out = out.sort_values(["user_id", "t_start"], kind="mergesort")
+        out["session_id"] = (out.groupby("user_id").cumcount() + 1).astype("int32")
+        out["sum_value"] = out["sum_value"].round(2)
+        return out[["user_id", "session_id", "n_events", "t_start", "t_end", "sum_value"]]
+
+    return (
+        segments.map_batches(add_user_bucket, batch_format="pyarrow")
+        .groupby("ubucket")
+        .map_groups(merge_bucket, batch_format="pandas")
+    )
+
+
 def distinct_order_priorities(sf_dir: str) -> rd.Dataset:
     """Distinct values (set-op / D2 parity)."""
     ds = _read(sf_dir, "orders", ["o_orderpriority"])

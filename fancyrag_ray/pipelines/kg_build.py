@@ -235,6 +235,10 @@ def run_kg_build_resumable(
     over the union of all partition outputs. ``fail_after`` aborts after
     that many partitions (test hook for kill/resume)."""
     cfg = cfg or PipelineConfig()
+    if not docs_files:
+        # S4 parity (reference phases.py:117-177): discovering nothing is
+        # an error, not an empty success
+        raise ValueError("no source partitions matched — nothing to ingest")
     manifest = Manifest(os.path.join(out_dir, "manifest.jsonl"))
     partitions = [(f"p{idx:05d}", f) for idx, f in enumerate(docs_files)]
     pending = manifest.pending([p for p, _ in partitions])

@@ -205,9 +205,22 @@ def evaluate(
     )
 
 
+def unique_report_dir(base_dir: str) -> str:
+    """D6 parity (reference ``report.py:41-46``): if ``base_dir`` already
+    exists, suffix ``-01``, ``-02``, … until a fresh directory name is
+    found, then create and return it."""
+    candidate = base_dir
+    suffix = 0
+    while os.path.exists(candidate):
+        suffix += 1
+        candidate = f"{base_dir}-{suffix:02d}"
+    os.makedirs(candidate)
+    return candidate
+
+
 def write_report(metrics: QaMetrics, out_dir: str) -> dict[str, str]:
-    """JSON + Markdown renderings (reference report.py:17-136); the
-    timestamped-dir collision scheme becomes caller-provided out_dir."""
+    """JSON + Markdown renderings (reference report.py:17-136); pass the
+    result of :func:`unique_report_dir` for timestamp-collision safety."""
     os.makedirs(out_dir, exist_ok=True)
     jpath = os.path.join(out_dir, "qa_report.json")
     with open(jpath, "w") as f:

@@ -28,7 +28,17 @@ import ray.data as rd
 from ..stages.embedder import HashEmbedder
 
 
+def validate_top_k(top_k: int, effective_search_ratio: float = 1.0) -> None:
+    """O5 parity (reference ``runtime.py:366-375,397-408``): top_k must be
+    a positive integer; the over-fetch ratio must be ≥ 1."""
+    if not isinstance(top_k, int) or isinstance(top_k, bool) or top_k < 1:
+        raise ValueError(f"top_k must be a positive integer, got {top_k!r}")
+    if effective_search_ratio < 1:
+        raise ValueError(f"effective_search_ratio must be >= 1, got {effective_search_ratio!r}")
+
+
 def vector_topk(embeddings: rd.Dataset, query: np.ndarray, k: int = 5, id_col: str = "chunk_uid") -> pd.DataFrame:
+    validate_top_k(k)
     qn = query.astype(np.float64)
     n = np.linalg.norm(qn)
     if n > 0:
@@ -54,6 +64,7 @@ def vector_topk(embeddings: rd.Dataset, query: np.ndarray, k: int = 5, id_col: s
 
 
 def fulltext_topk(chunks: rd.Dataset, query_text: str, k: int = 5, id_col: str = "chunk_uid") -> pd.DataFrame:
+    validate_top_k(k)
     terms = [t for t in re.findall(r"[a-z0-9]+", query_text.lower()) if len(t) > 1]
     if not terms:
         return pd.DataFrame({id_col: pd.Series(dtype=object), "score_fulltext": pd.Series(dtype=float)})
@@ -104,6 +115,7 @@ def hybrid_search(
 ) -> pd.DataFrame:
     """Vector ∪ fulltext hybrid with per-list max normalization and a
     weighted combined score; returns the top-k hit rows."""
+    validate_top_k(k)
     q = HashEmbedder(dim=embed_dim, seed=embed_seed)._embed_one(query_text)
     v = vector_topk(embeddings, q, k=k)
     f = fulltext_topk(chunks, query_text, k=k)

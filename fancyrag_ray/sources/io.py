@@ -44,6 +44,27 @@ def write_table(ds: rd.Dataset, path: str, **kwargs) -> None:
         ds.write_parquet(path, **kwargs)
 
 
+def discover_partitions(
+    root: str, include: Sequence[str] = ("*.parquet",), recursive: bool = True
+) -> list[str]:
+    """S2/S4 parity (reference ``pipeline.py:491-499``,
+    ``phases.py:117-177``): glob-include discovery of input partition
+    files under ``root``, deduplicated across overlapping patterns and
+    DETERMINISTICALLY ordered by path relative to ``root``; raises when
+    nothing matched (discovering nothing is an error, not an empty
+    success)."""
+    import glob as _glob
+    import os
+
+    matched: set[str] = set()
+    for pattern in include:
+        p = os.path.join(root, "**", pattern) if recursive else os.path.join(root, pattern)
+        matched.update(f for f in _glob.glob(p, recursive=recursive) if os.path.isfile(f))
+    if not matched:
+        raise FileNotFoundError(f"no input partitions matched {list(include)} under {root!r}")
+    return sorted(matched, key=lambda f: os.path.relpath(f, root))
+
+
 def interleave_documents(batch: pa.Table) -> pa.Table:
     """Adapter: plain ``documents`` rows (doc_id, text, …) → the
     interleaved shape (doc_id, spans) with one text span per row

@@ -75,6 +75,38 @@ def _driver_union_find(pairs: list[tuple[str, str]]) -> dict[str, str]:
     return {x: find(x) for x in list(parent)}
 
 
+def _local_forest_fn(src_col: str, dst_col: str):
+    """Per-block union-find → spanning-forest edges (node, min-of-local-
+    component). Connectivity-preserving and deterministic; a block of E
+    edges over V distinct nodes collapses to ≤ V-1 forest edges."""
+
+    def local_forest(batch: pa.Table) -> pa.Table:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(batch.column(src_col).to_pylist(), batch.column(dst_col).to_pylist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        src_out, dst_out = [], []
+        for node in parent:
+            root = find(node)
+            if root != node:
+                src_out.append(node)
+                dst_out.append(root)
+        return pa.table({src_col: pa.array(src_out, pa.string()), dst_col: pa.array(dst_out, pa.string())})
+
+    return local_forest
+
+
 def connected_components(
     edges: rd.Dataset,
     src_col: str = "src",
@@ -82,20 +114,31 @@ def connected_components(
     max_rounds: int = 25,
     driver_threshold: int = 2_000_000,
     num_partitions: int = 16,
+    algorithm: str = "contract",
+    driver_node_limit: int = 20_000_000,
 ) -> rd.Dataset:
     """Return (node, component) with component = min node id reachable.
 
-    Distributed hash-min label propagation with POINTER DOUBLING — each
-    round also shortcuts ``L(v) ← L(L(v))``, so convergence takes
-    O(log diameter) rounds instead of O(diameter); ``max_rounds=25``
-    covers any graph that fits on a cluster. If the loop ever exits with
-    labels still changing, a RuntimeError is raised rather than silently
-    returning wrong component ids. Hot-key skew (star centers) is
-    blunted by a per-block partial min-combine before every groupby, so
-    a mega-hub contributes one row per block to the shuffle.
-
-    Falls back to driver-side union-find when the edge set is small
-    (post-LSH candidate graphs).
+    Three tiers:
+      * edge set ≤ ``driver_threshold`` → driver-side union-find
+        (post-LSH candidate graphs are tiny);
+      * ``algorithm="contract"`` (default) — iterative LOCAL SPANNING
+        FOREST contraction: one ``map_batches`` union-find pass per
+        level collapses every block of E edges over V nodes to ≤ V-1
+        forest edges (connectivity-preserving), blocks are coalesced
+        8-fold between levels, and the final forest (≤ |nodes| rows,
+        bounded by ``driver_node_limit``) is resolved by a driver
+        union-find. No shuffle, no hot-key straggler — a degree-10⁶ hub
+        costs one block-local pass, not a skewed reducer. This is the
+        scale path whenever the NODE count fits the driver (the edge
+        stream may be arbitrarily larger).
+      * ``algorithm="labelprop"`` — distributed hash-min label
+        propagation with POINTER DOUBLING (``L(v) ← L(L(v))`` each
+        round ⇒ O(log diameter) rounds) for graphs whose node set
+        exceeds the driver; raises RuntimeError if the round budget is
+        exhausted before convergence instead of silently returning
+        wrong labels. Hot keys are blunted by a per-block partial
+        min-combine before every groupby.
     """
     n_edges = edges.count()
     if n_edges == 0:
@@ -112,6 +155,69 @@ def connected_components(
                 }
             )
         )
+    if algorithm == "contract":
+        return _cc_contract(edges, src_col, dst_col, driver_node_limit)
+    return _cc_labelprop(edges, src_col, dst_col, max_rounds, num_partitions)
+
+
+def _cc_contract(edges: rd.Dataset, src_col: str, dst_col: str, driver_node_limit: int) -> rd.Dataset:
+    forest = edges.select_columns([src_col, dst_col]).map_batches(
+        lambda t: pa.table({src_col: t.column(src_col).cast(pa.string()),
+                            dst_col: t.column(dst_col).cast(pa.string())}),
+        batch_format="pyarrow",
+    )
+    local_forest = _local_forest_fn(src_col, dst_col)
+    m_prev = None
+    for _level in range(8):
+        forest = forest.map_batches(local_forest, batch_format="pyarrow", batch_size=None).materialize()
+        m = forest.count()
+        if m <= driver_node_limit:
+            break
+        if m_prev is not None and m >= m_prev:
+            raise RuntimeError(
+                f"connected_components: contracted forest has {m} edges ≥ node "
+                f"driver limit {driver_node_limit} and stopped shrinking — "
+                "use algorithm='labelprop' for node sets beyond driver memory"
+            )
+        m_prev = m
+        nblocks = forest.num_blocks() if hasattr(forest, "num_blocks") else 8
+        forest = forest.repartition(max(1, nblocks // 8))
+    # final resolve on the driver: ≤ |distinct nodes| forest edges
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    all_nodes: set = set()
+    for b in forest.iter_batches(batch_format="pyarrow"):
+        srcs = b.column(src_col).to_pylist()
+        dsts = b.column(dst_col).to_pylist()
+        all_nodes.update(srcs)
+        all_nodes.update(dsts)
+        for a, c in zip(srcs, dsts):
+            ra, rb = find(a), find(c)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+    nodes = sorted(all_nodes)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes, pa.string()),
+                "component": pa.array([find(n) for n in nodes], pa.string()),
+            }
+        )
+    )
+
+
+def _cc_labelprop(
+    edges: rd.Dataset, src_col: str, dst_col: str, max_rounds: int, num_partitions: int
+) -> rd.Dataset:
 
     # Distributed path: undirected closure, labels start as node id.
     def to_pairs(batch: pa.Table) -> pa.Table:

@@ -459,10 +459,18 @@ def build_triples_llm(
 ):
     """Wire the LLM extractor as the A3 stage: actor pool (client built
     once per actor), autoscaling floor of half the pool so short phases
-    still ramp (fixed pools can starve the upstream read — see
-    kg_build.build_embeddings)."""
+    still ramp — CLAMPED to leave ≥2 CPUs for the upstream read/chunk
+    stages (a pool floor that reserves every CPU starves the upstream
+    into a silent deadlock; observed live on a 4-CPU cluster)."""
+    import ray
+
     projected = chunks.select_columns(["doc_id", "chunk_uid", "seq", "text"])
     handle = get_metrics_actor(metrics_actor) if metrics_actor else None
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    floor = max(1, min(concurrency // 2, cpus - 2))
     return projected.map_batches(
         LlmExtractor,
         fn_constructor_kwargs={
@@ -476,6 +484,6 @@ def build_triples_llm(
         },
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(max(1, concurrency // 2), concurrency),
+        concurrency=(floor, concurrency),
         num_cpus=1,
     )

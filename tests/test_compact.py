@@ -1,0 +1,133 @@
+"""Incremental-ingest compaction (MERGE-over-history parity,
+reference ``neo4j_queries.py:87-108``) + trivia: O5 top-k validation,
+D6 report-dir collision suffix, S4 empty-source guard."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from fancyrag_ray.config import PipelineConfig
+from fancyrag_ray.fixtures import generate_corpus
+from fancyrag_ray.pipelines.compact import compact_into_store
+from fancyrag_ray.pipelines.kg_build import run_kg_build
+from fancyrag_ray.sources.io import read_table
+
+
+def _sorted_nodes(store):
+    df = read_table(f"{store}/nodes").to_pandas()
+    return df.sort_values(["entity_id", "label", "name"]).reset_index(drop=True)
+
+
+def _sorted_edges(store):
+    df = read_table(f"{store}/edges").to_pandas()
+    return df.sort_values(["src_id", "type", "dst_id"]).reset_index(drop=True)
+
+
+class TestCompaction:
+    def test_two_sequential_ingests_equal_one_combined(self, ray_session, tmp_path):
+        corpus = generate_corpus(240, seed=11)
+        docs = corpus.documents
+        half = docs.num_rows // 2
+        d1, d2 = docs.slice(0, half), docs.slice(half)
+
+        def build(tbl):
+            r = run_kg_build(rd.from_arrow(tbl), alias_table=corpus.aliases, cfg=PipelineConfig())
+            return r.nodes.materialize(), r.edges.materialize()
+
+        # sequential: ingest halves one after the other
+        seq_store = str(tmp_path / "seq")
+        n1, e1 = build(d1)
+        meta1 = compact_into_store(n1, e1, seq_store)
+        n2, e2 = build(d2)
+        meta2 = compact_into_store(n2, e2, seq_store)
+        assert meta1["version"] == 1 and meta2["version"] == 2
+
+        # combined: one ingest of everything
+        all_store = str(tmp_path / "all")
+        na, ea = build(docs)
+        compact_into_store(na, ea, all_store)
+
+        pd.testing.assert_frame_equal(_sorted_nodes(seq_store), _sorted_nodes(all_store))
+        pd.testing.assert_frame_equal(_sorted_edges(seq_store), _sorted_edges(all_store))
+
+    def test_reingest_same_data_doubles_counts_not_rows(self, ray_session, tmp_path):
+        corpus = generate_corpus(60, seed=3)
+        r = run_kg_build(rd.from_arrow(corpus.documents), alias_table=corpus.aliases)
+        nodes, edges = r.nodes.materialize(), r.edges.materialize()
+        store = str(tmp_path / "store")
+        compact_into_store(nodes, edges, store)
+        before_n, before_e = _sorted_nodes(store), _sorted_edges(store)
+        compact_into_store(nodes, edges, store)
+        after_n, after_e = _sorted_nodes(store), _sorted_edges(store)
+        # MERGE semantics: same keys, counts doubled, no duplicate rows
+        assert len(after_n) == len(before_n) and len(after_e) == len(before_e)
+        assert (after_n["mentions"].values == 2 * before_n["mentions"].values).all()
+        assert (after_e["n_mentions"].values == 2 * before_e["n_mentions"].values).all()
+
+
+class TestTrivia:
+    def test_top_k_validation(self):
+        from fancyrag_ray.pipelines.retrieval import validate_top_k
+
+        validate_top_k(1)
+        validate_top_k(5, effective_search_ratio=2.0)
+        with pytest.raises(ValueError, match="top_k"):
+            validate_top_k(0)
+        with pytest.raises(ValueError, match="top_k"):
+            validate_top_k(-3)
+        with pytest.raises(ValueError, match="ratio"):
+            validate_top_k(5, effective_search_ratio=0.5)
+
+    def test_vector_topk_rejects_bad_k(self, ray_session):
+        import pyarrow as pa
+
+        from fancyrag_ray.pipelines.retrieval import vector_topk
+
+        emb = rd.from_arrow(pa.table({"chunk_uid": ["a"], "embedding": [[1.0, 0.0]]}))
+        with pytest.raises(ValueError, match="top_k"):
+            vector_topk(emb, np.array([1.0, 0.0]), k=0)
+
+    def test_report_dir_collision_suffix(self, tmp_path):
+        from fancyrag_ray.pipelines.qa import unique_report_dir
+
+        base = str(tmp_path / "qa-2026-01-01")
+        d0 = unique_report_dir(base)
+        d1 = unique_report_dir(base)
+        d2 = unique_report_dir(base)
+        assert d0 == base
+        assert d1 == base + "-01"
+        assert d2 == base + "-02"
+
+    def test_empty_sources_raise(self, ray_session, tmp_path):
+        from fancyrag_ray.pipelines.kg_build import run_kg_build_resumable
+
+        with pytest.raises(ValueError, match="no source"):
+            run_kg_build_resumable([], str(tmp_path / "out"))
+
+
+class TestDiscovery:
+    def test_glob_include_deterministic_order(self, tmp_path):
+        from fancyrag_ray.sources.io import discover_partitions
+
+        (tmp_path / "sub").mkdir()
+        for name in ["b.parquet", "a.parquet", "sub/c.parquet", "skip.json"]:
+            (tmp_path / name).write_text("x")
+        got = discover_partitions(str(tmp_path))
+        rel = [p.replace(str(tmp_path) + "/", "") for p in got]
+        assert rel == ["a.parquet", "b.parquet", "sub/c.parquet"]
+
+    def test_multiple_patterns_dedupe(self, tmp_path):
+        from fancyrag_ray.sources.io import discover_partitions
+
+        (tmp_path / "x.parquet").write_text("x")
+        got = discover_partitions(str(tmp_path), include=("*.parquet", "x.*"))
+        assert len(got) == 1
+
+    def test_nothing_matched_raises(self, tmp_path):
+        from fancyrag_ray.sources.io import discover_partitions
+
+        with pytest.raises(FileNotFoundError, match="no input partitions"):
+            discover_partitions(str(tmp_path))

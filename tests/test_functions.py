@@ -163,6 +163,45 @@ class TestConnectedComponents:
         assert m["a"] == m["b"] == m["c"] == "a"
         assert m["d"] == m["e"] == m["f"] == "d"
 
+    def test_labelprop_path_matches_driver(self, ray_session):
+        from fancyrag_ray.stages.canonicalize import connected_components
+
+        out = connected_components(self._edges(), driver_threshold=0, algorithm="labelprop").to_pandas()
+        m = dict(zip(out["node"], out["component"]))
+        assert m["a"] == m["b"] == m["c"] == "a"
+        assert m["d"] == m["e"] == m["f"] == "d"
+
+    def test_labelprop_chain_converges_with_pointer_doubling(self, ray_session):
+        """A diameter-64 path needs ~log2(64) doubling rounds — the
+        pre-doubling hash-min would need 64 and trip the round budget."""
+        from fancyrag_ray.stages.canonicalize import connected_components
+
+        nodes = [f"v{i:03d}" for i in range(65)]
+        edges = pa.table({"src": nodes[:-1], "dst": nodes[1:]})
+        out = connected_components(
+            rd.from_arrow(edges), driver_threshold=0, algorithm="labelprop", max_rounds=10
+        ).to_pandas()
+        assert set(out["component"]) == {"v000"}
+        assert len(out) == 65
+
+    def test_contract_star_mega_hub(self, ray_session):
+        """Verdict scale check: a 1-component star of 10^6 edges must
+        complete through the distributed machinery without a straggler
+        partition (local-forest contraction: the hub costs one pass)."""
+        from fancyrag_ray.stages.canonicalize import connected_components
+
+        n = 1_000_000
+        hub = "n0000000"
+        edges = pa.table(
+            {"src": pa.array([hub] * n), "dst": pa.array([f"n{i:07d}" for i in range(1, n + 1)])}
+        )
+        out = connected_components(rd.from_arrow(edges), driver_threshold=0)
+        comps = out.map_batches(
+            lambda t: pa.table({"c": t.column("component").unique()}), batch_format="pyarrow"
+        ).to_pandas()
+        assert out.count() == n + 1
+        assert set(comps["c"]) == {hub}
+
 
 class TestQaGate:
     def test_metrics_and_gate(self, small_corpus, ray_session, tmp_path):
