@@ -75,16 +75,31 @@ def _scaling(lo: int | None = None, hi: int | None = None) -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    reps = os.environ.get("GRAFT_BENCH_REPS", "3")
-    results = {n: run_level(n, reps) for n in (lo, hi)}
-    t_lo, t_hi = results[lo]["headline_sec"], results[hi]["headline_sec"]
-    tp_lo, tp_hi = results[lo]["value"], results[hi]["value"]
+    # INTERLEAVED reps: this host's noisy-neighbor load varies on a
+    # tens-of-minutes timescale (observed 0-35% CPU steal, and the SAME
+    # binary measuring 98 s and 131 s at 4 CPUs an hour apart), so the
+    # two levels alternate — each rep pair samples one environment
+    # window. Canonical value = min-per-level over reps (round-1
+    # methodology); per-window pair efficiencies are published alongside.
+    reps = int(os.environ.get("GRAFT_SCALE_PAIRS", "3"))
+    pair_runs = []
+    for _ in range(reps):
+        r_lo = run_level(lo, "1")
+        r_hi = run_level(hi, "1")
+        pair_runs.append((r_lo, r_hi))
+    t_lo = min(r[0]["headline_sec"] for r in pair_runs)
+    t_hi = min(r[1]["headline_sec"] for r in pair_runs)
+    tp_lo = max(r[0]["value"] for r in pair_runs)
+    tp_hi = max(r[1]["value"] for r in pair_runs)
+    pair_effs = [round((a["headline_sec"] / b["headline_sec"]) / (hi / lo), 3) for a, b in pair_runs]
     eff = (t_lo / t_hi) / (hi / lo)
     payload = {
         "metric": "scaling_efficiency", "value": round(eff, 3), "unit": "speedup_fraction",
         "sf": SF_DIR, "cpus_lo": lo, "cpus_hi": hi,
         "sec_lo": round(t_lo, 2), "sec_hi": round(t_hi, 2),
         "triples_per_sec_lo": round(tp_lo, 1), "triples_per_sec_hi": round(tp_hi, 1),
+        "pair_efficiencies": pair_effs,
+        "best_pair_efficiency": max(pair_effs),
     }
     # Transparency companion (VERDICT r1 §Next-8): the 8→32 levels are
     # also published even though this host's 32 vCPUs are SMT-shared
@@ -93,7 +108,7 @@ def _scaling(lo: int | None = None, hi: int | None = None) -> None:
     # machine-ceiling-bounded floor, not the engine's scaling.
     if os.environ.get("GRAFT_SCALE_SECONDARY", "1") != "0":
         sec_lo_n, sec_hi_n = 8, 32
-        sec = {n: run_level(n, os.environ.get("GRAFT_BENCH_REPS_SECONDARY", "2"))
+        sec = {n: run_level(n, os.environ.get("GRAFT_BENCH_REPS_SECONDARY", "1"))
                for n in (sec_lo_n, sec_hi_n)}
         s_lo, s_hi = sec[sec_lo_n]["headline_sec"], sec[sec_hi_n]["headline_sec"]
         payload["secondary_8_32"] = {
@@ -140,7 +155,9 @@ def main() -> None:
     )
     import threading
 
-    reps = int(os.environ.get("GRAFT_BENCH_REPS", "1"))
+    # min-of-2 by default: this host shows up to 3× run-to-run noise
+    # (CPU steal / noisy neighbors); min over reps rejects the spikes
+    reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
     headline_sec = None
     for _rep in range(reps):
         t0 = time.perf_counter()
@@ -177,57 +194,67 @@ def main() -> None:
     # former linked.to_pandas() pulled the whole triple stream onto the
     # driver; at 100× corpora that is a driver OOM). Distinct facts via
     # per-block dedup + groupby; tp via inner join against the goldens.
+    # Skipped in headline-only scaling children: P/R is corpus-deterministic,
+    # identical at every CPU level, and its two shuffles would otherwise
+    # dominate the low-CPU levels' wall time.
+    headline_only = bool(os.environ.get("GRAFT_HEADLINE_ONLY"))
     import pyarrow as pa
 
-    fact_cols = ["doc_id", "subj_canonical", "pred", "obj_canonical"]
+    precision = recall = None
+    if not headline_only:
+        fact_cols = ["doc_id", "subj_canonical", "pred", "obj_canonical"]
 
-    def _block_distinct(t: pa.Table) -> pa.Table:
-        return t.group_by(fact_cols).aggregate([])
+        def _block_distinct(t: pa.Table) -> pa.Table:
+            return t.group_by(fact_cols).aggregate([])
 
-    from ray.data.aggregate import Count as _Count
+        from ray.data.aggregate import Count as _Count
 
-    distinct_got = (
-        linked.select_columns(fact_cols)
-        .map_batches(_block_distinct, batch_format="pyarrow", batch_size=None)
-        .groupby(fact_cols)
-        .aggregate(_Count(alias_name="_n"))
-        .select_columns(fact_cols)
-        .materialize()
-    )
-    n_got = distinct_got.count()
-    gold_cols = ["doc_id", "subj", "pred", "obj"]
-    goldens = (
-        rd.read_parquet(f"{corpus_dir}/golden_triples.parquet", columns=gold_cols)
-        .map_batches(lambda t: t.group_by(gold_cols).aggregate([]), batch_format="pyarrow", batch_size=None)
-        .groupby(gold_cols)
-        .aggregate(_Count(alias_name="_n"))
-        .select_columns(gold_cols)
-        .materialize()
-    )  # goldens record every planting; P/R is over DISTINCT doc-level facts
-    n_gold = goldens.count()
-    from fancyrag_ray.util import adaptive_partitions
+        distinct_got = (
+            linked.select_columns(fact_cols)
+            .map_batches(_block_distinct, batch_format="pyarrow", batch_size=None)
+            .groupby(fact_cols)
+            .aggregate(_Count(alias_name="_n"))
+            .select_columns(fact_cols)
+            .materialize()
+        )
+        n_got = distinct_got.count()
+        gold_cols = ["doc_id", "subj", "pred", "obj"]
+        goldens = (
+            rd.read_parquet(f"{corpus_dir}/golden_triples.parquet", columns=gold_cols)
+            .map_batches(lambda t: t.group_by(gold_cols).aggregate([]), batch_format="pyarrow", batch_size=None)
+            .groupby(gold_cols)
+            .aggregate(_Count(alias_name="_n"))
+            .select_columns(gold_cols)
+            .materialize()
+        )  # goldens record every planting; P/R is over DISTINCT doc-level facts
+        n_gold = goldens.count()
+        from fancyrag_ray.util import adaptive_partitions
 
-    tp = distinct_got.join(
-        goldens, join_type="inner", num_partitions=adaptive_partitions(16, n_rows=n_got),
-        on=("doc_id", "subj_canonical", "pred", "obj_canonical"),
-        right_on=("doc_id", "subj", "pred", "obj"),
-    ).count()
-    precision = tp / max(1, n_got)
-    recall = tp / max(1, n_gold)
+        tp = distinct_got.join(
+            goldens, join_type="inner", num_partitions=adaptive_partitions(16, n_rows=n_got),
+            on=("doc_id", "subj_canonical", "pred", "obj_canonical"),
+            right_on=("doc_id", "subj", "pred", "obj"),
+        ).count()
+        precision = tp / max(1, n_got)
+        recall = tp / max(1, n_gold)
 
     # ---- operator suite (skipped in headline-only scaling children) ----
     queries: dict = {}
-    if not os.environ.get("GRAFT_HEADLINE_ONLY"):
+    if not headline_only:
         from fancyrag_ray.functions import relational as R
         from fancyrag_ray.functions import similarity as S
         from fancyrag_ray.functions import textops as T
         from fancyrag_ray.functions.dedup import minhash_lsh_duplicates
 
-        def timed(fn):
-            t = time.perf_counter()
-            ds = fn(SF_DIR)
-            ds.count()
-            return round(time.perf_counter() - t, 3)
+        def timed(fn, reps: int = 2):
+            best = None
+            for _ in range(reps):  # min-of-reps (same noise rationale as headline)
+                t = time.perf_counter()
+                ds = fn(SF_DIR)
+                ds.count()
+                dt = time.perf_counter() - t
+                best = dt if best is None else min(best, dt)
+            return round(best, 3)
 
         queries = {
             "pricing_summary": timed(R.pricing_summary),
@@ -258,8 +285,8 @@ def main() -> None:
         "n_nodes": n_nodes,
         "n_edges": n_edges,
         "n_chunks_embedded": emb_rows,
-        "precision": round(precision, 4),
-        "recall": round(recall, 4),
+        "precision": round(precision, 4) if precision is not None else None,
+        "recall": round(recall, 4) if recall is not None else None,
     }))
     ray.shutdown()
 

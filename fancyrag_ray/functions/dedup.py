@@ -76,9 +76,11 @@ def minhash_lsh_duplicates(
       1. signatures computed ONCE per doc → small (doc_id, sig) table;
       2. band rows carry only (band, band_hash, doc_id) — the 8×-bigger
          signature is NOT duplicated into every band row;
-      3. multi-member buckets found by a count aggregate and applied as a
-         SEMI-JOIN on (band, band_hash) — no driver-side hot-key set;
-      4. signatures for surviving candidates fetched back by join;
+      3. multi-member buckets found by a count aggregate and applied as
+         a BOUNDED broadcast filter below 5M keys / a semi-join on
+         (band, band_hash) above — never an unbounded driver set;
+      4. signatures for surviving candidates attached from a bounded
+         broadcast map below 5M docs, by join above;
       5. per-bucket candidate pairs: all pairs for buckets ≤
          ``all_pairs_bucket_limit`` members, star pairs (each member vs
          the bucket minimum) above it — duplicate-heavy crawls produce
@@ -86,8 +88,9 @@ def minhash_lsh_duplicates(
          components recovers the cluster at O(m) instead of O(m²);
       6. candidate pairs pass a signature-estimate prefilter at
          ``threshold - est_margin`` and are then verified with EXACT
-         word-``shingle_n``-gram Jaccard on the two texts (fetched by
-         join; pairs ≪ corpus);
+         word-``shingle_n``-gram Jaccard on the two texts — endpoint
+         texts come from a bounded shuffle-free filter + broadcast below
+         500k pairs, from two hash joins above;
       7. connected components over verified edges.
     """
     assert n_hashes % n_bands == 0
@@ -148,13 +151,54 @@ def minhash_lsh_duplicates(
         bands.groupby(["band", "band_hash"])
         .aggregate(_Count(alias_name="n"))
         .map_batches(_multi_filter, batch_format="pyarrow")
+        .materialize()  # consumed twice (count + broadcast/semi-join)
     )
     n_multi = multi.count()
     if n_multi == 0:
         return pa.table({"doc_id": pa.array([], pa.string()), "keep": pa.array([], pa.string())})
+
+    # Tiered semi-join + sig fetch (same pattern as qa._anti_count): a
+    # BOUNDED broadcast below the limits — each join here costs a full
+    # hash shuffle whose fixed overhead dwarfs small inputs — and the
+    # hash join above them, so nothing unbounded ever reaches the driver.
+    broadcast_limit = 5_000_000
     parts = adaptive_partitions(16, n_rows=n_multi)
-    hot_rows = bands.join(multi, join_type="inner", num_partitions=parts, on=("band", "band_hash"))
-    cand = hot_rows.join(sigs, join_type="inner", num_partitions=parts, on=(id_col,))
+    if n_multi <= broadcast_limit:
+        import ray as _ray
+
+        hot_keys: set = set()
+        for b in multi.iter_batches(batch_format="pyarrow"):
+            hot_keys.update(zip(b.column("band").to_pylist(), b.column("band_hash").to_pylist()))
+        hot_keys_ref = _ray.put(hot_keys)
+
+        def only_hot(t: pa.Table) -> pa.Table:
+            keys = _ray.get(hot_keys_ref)
+            mask = pa.array(
+                [(b, h) in keys for b, h in zip(t.column("band").to_pylist(), t.column("band_hash").to_pylist())],
+                pa.bool_(),
+            )
+            return t.filter(mask)
+
+        hot_rows = bands.map_batches(only_hot, batch_format="pyarrow")
+    else:
+        hot_rows = bands.join(multi, join_type="inner", num_partitions=parts, on=("band", "band_hash"))
+
+    n_docs_total = sigs.count()
+    if n_docs_total <= broadcast_limit:
+        import ray as _ray
+
+        sig_map: dict = {}
+        for b in sigs.iter_batches(batch_format="pyarrow"):
+            sig_map.update(zip(b.column(id_col).to_pylist(), b.column("sig").to_pylist()))
+        sig_ref = _ray.put(sig_map)
+
+        def attach_sig(t: pa.Table) -> pa.Table:
+            m = _ray.get(sig_ref)
+            return t.append_column("sig", pa.array([m[d] for d in t.column(id_col).to_pylist()], pa.binary()))
+
+        cand = hot_rows.map_batches(attach_sig, batch_format="pyarrow")
+    else:
+        cand = hot_rows.join(sigs, join_type="inner", num_partitions=parts, on=(id_col,))
 
     def candidate_pairs(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"src": pd.Series(dtype=object), "dst": pd.Series(dtype=object)})
@@ -184,30 +228,67 @@ def minhash_lsh_duplicates(
         return pd.DataFrame({"src": src, "dst": dst}).astype({"src": object, "dst": object})
 
     pairs = cand.groupby(["band", "band_hash"]).map_groups(candidate_pairs, batch_format="pandas")
-    # a pair surfaces in up to n_bands buckets → dedup before the text join
-    pairs = pairs.groupby(["src", "dst"]).aggregate(_Count(alias_name="_n")).select_columns(["src", "dst"])
+    # a pair surfaces in up to n_bands buckets → dedup before the text
+    # join; materialized because it is consumed several times (count,
+    # endpoint scan, verify) and each consumption would otherwise
+    # re-execute the whole bucket chain
+    pairs = (
+        pairs.groupby(["src", "dst"]).aggregate(_Count(alias_name="_n")).select_columns(["src", "dst"]).materialize()
+    )
 
     # exact verification on text (advice parity: the docstring's "exact
     # Jaccard verify" is now true — estimates only prefilter)
     n_pairs = pairs.count()
     if n_pairs == 0:
         return pa.table({"doc_id": pa.array([], pa.string()), "keep": pa.array([], pa.string())})
-    pparts = adaptive_partitions(16, n_rows=n_pairs)
-    with_src = pairs.join(
-        texts, join_type="inner", num_partitions=pparts, on=("src",), right_on=(id_col,)
-    ).rename_columns({text_col: "_text_src"})
-    with_both = with_src.join(
-        texts, join_type="inner", num_partitions=pparts, on=("dst",), right_on=(id_col,)
-    ).rename_columns({text_col: "_text_dst"})
+    pair_broadcast_limit = 500_000
+    if n_pairs <= pair_broadcast_limit:
+        # bounded: fetch ONLY the pair-endpoint texts (≤ 2·n_pairs docs,
+        # selected by a shuffle-free filter) and verify map-side
+        import ray as _ray
 
-    def verify(t: pa.Table) -> pa.Table:
-        keep = [
-            ngram_jaccard(a or "", b or "", shingle_n) >= jaccard_threshold
-            for a, b in zip(t.column("_text_src").to_pylist(), t.column("_text_dst").to_pylist())
-        ]
-        return t.filter(pa.array(keep, pa.bool_())).select(["src", "dst"])
+        endpoint_ids: set = set()
+        for b in pairs.iter_batches(batch_format="pyarrow"):
+            endpoint_ids.update(b.column("src").to_pylist())
+            endpoint_ids.update(b.column("dst").to_pylist())
+        ids_ref = _ray.put(endpoint_ids)
 
-    edges = with_both.map_batches(verify, batch_format="pyarrow")
+        def pick(t: pa.Table) -> pa.Table:
+            wanted = _ray.get(ids_ref)
+            mask = pa.array([d in wanted for d in t.column(id_col).to_pylist()], pa.bool_())
+            return t.filter(mask)
+
+        text_map: dict = {}
+        for b in texts.map_batches(pick, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+            text_map.update(zip(b.column(id_col).to_pylist(), b.column(text_col).to_pylist()))
+        text_ref = _ray.put(text_map)
+
+        def verify_b(t: pa.Table) -> pa.Table:
+            m = _ray.get(text_ref)
+            keep = [
+                ngram_jaccard(m.get(a) or "", m.get(b) or "", shingle_n) >= jaccard_threshold
+                for a, b in zip(t.column("src").to_pylist(), t.column("dst").to_pylist())
+            ]
+            return t.filter(pa.array(keep, pa.bool_()))
+
+        edges = pairs.map_batches(verify_b, batch_format="pyarrow").materialize()
+    else:
+        pparts = adaptive_partitions(16, n_rows=n_pairs)
+        with_src = pairs.join(
+            texts, join_type="inner", num_partitions=pparts, on=("src",), right_on=(id_col,)
+        ).rename_columns({text_col: "_text_src"})
+        with_both = with_src.join(
+            texts, join_type="inner", num_partitions=pparts, on=("dst",), right_on=(id_col,)
+        ).rename_columns({text_col: "_text_dst"})
+
+        def verify(t: pa.Table) -> pa.Table:
+            keep = [
+                ngram_jaccard(a or "", b or "", shingle_n) >= jaccard_threshold
+                for a, b in zip(t.column("_text_src").to_pylist(), t.column("_text_dst").to_pylist())
+            ]
+            return t.filter(pa.array(keep, pa.bool_())).select(["src", "dst"])
+
+        edges = with_both.map_batches(verify, batch_format="pyarrow").materialize()
     comps = connected_components(edges, src_col="src", dst_col="dst")
     return comps.rename_columns({"node": "doc_id", "component": "keep"})
 
