@@ -98,6 +98,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             chunks, transport_factory, model="deterministic-fake", metrics_actor=None
         )
 
+    def hybrid_search_chunks(sf_dir: str):
+        """§2.11 serving surface as a driver query: chunk + embed the
+        driver documents, then run the hybrid (vector ∪ fulltext)
+        retrieval with max-normalized combined scores (J4/O3/O4). Fully
+        deterministic (HashEmbedder); rows-only driver check — scoring
+        internals are pytest-verified."""
+        import ray.data as rd
+
+        from fancyrag_ray.config import PipelineConfig
+        from fancyrag_ray.pipelines.kg_build import build_chunks, build_embeddings
+        from fancyrag_ray.pipelines.retrieval import hybrid_search
+        from fancyrag_ray.sources.io import interleave_documents
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        inter = docs.map_batches(interleave_documents, batch_format="pyarrow")
+        cfg = PipelineConfig(embed_dim=256)
+        chunks = build_chunks(inter, cfg).materialize()
+        emb = build_embeddings(chunks, cfg).materialize()
+        return hybrid_search(chunks, emb, "customer order supplier", k=5,
+                             embed_dim=cfg.embed_dim, embed_seed=cfg.embed_seed)
+
     def kg_flagship_edges(sf_dir: str):
         import ray.data as rd
 
@@ -143,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship end-to-end on driver data (no SQL oracle: multi-stage)
         "kg_flagship_edges": kg_flagship_edges,
         "kg_llm_extract_triples": kg_llm_extract_triples,
+        "hybrid_search_chunks": hybrid_search_chunks,
     }
 
 

@@ -171,20 +171,12 @@ def cooccurrence_edges(sf_dir: str) -> rd.Dataset:
     extractor = TermMentionExtractor()
 
     def pairs(t: pa.Table) -> pa.Table:
-        m = extractor(t)
-        # per-doc distinct terms → unordered pairs
-        by_doc: dict = {}
-        for d, term in zip(m.column("doc_id").to_pylist(), m.column("term").to_pylist()):
-            by_doc.setdefault(d, []).append(term)
-        t1, t2 = [], []
-        for terms in by_doc.values():
-            terms = sorted(set(terms))
-            for i in range(len(terms)):
-                for j in range(i + 1, len(terms)):
-                    t1.append(terms[i])
-                    t2.append(terms[j])
-        pt = pa.table({"term_a": pa.array(t1, pa.string()), "term_b": pa.array(t2, pa.string())})
-        g = pt.group_by(["term_a", "term_b"]).aggregate([([], "count_all")])
+        # vectorized unordered pair generation: batch-local self-join on
+        # doc_id (pyarrow Acero) + term < term_b filter — no Python loop
+        m = extractor(t).select(["doc_id", "term"])
+        j = m.join(m, keys=["doc_id"], join_type="inner", right_suffix="_b")
+        j = j.filter(pc.less(j.column("term"), j.column("term_b")))
+        g = j.group_by(["term", "term_b"]).aggregate([([], "count_all")])
         return g.rename_columns(["term_a", "term_b", "n_docs"])
 
     return (

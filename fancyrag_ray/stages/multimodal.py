@@ -103,6 +103,55 @@ class AudioFrameSampler:
         )
 
 
+class VideoFrameSampler:
+    """binary video payload → one OUTPUT ROW PER SAMPLED FRAME (flattening
+    1→N like the chunker, but over media): frame index, timestamp and a
+    per-frame feature vector.
+
+    Real backend: pyav/ffmpeg keyframe decode at ``fps`` — unavailable
+    here, stubbed with a deterministic content-hash fake; the flattening
+    shape, frame addressing ((media_ref, frame_idx) keys) and fixed-size
+    feature layout are the real contract a decoder drops into.
+    """
+
+    FEATURE_DIM = 16
+
+    def __init__(self, fps: float = 1.0, max_frames: int = 16, use_fake: bool = True):
+        self.fps = fps
+        self.max_frames = max_frames
+        self.use_fake = use_fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.use_fake:
+            raise NotImplementedError("real video decode requires pyav/ffmpeg (not in this sandbox)")
+        refs = batch.column("media_ref").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        o_ref, o_idx, o_ts = [], [], []
+        feats = []
+        for ref, p in zip(refs, payloads):
+            h = hashlib.sha256(p or b"").digest()
+            duration = 1.0 + h[3]  # deterministic fake seconds
+            n = min(self.max_frames, max(1, int(duration * self.fps)))
+            for k in range(n):
+                o_ref.append(ref)
+                o_idx.append(k)
+                o_ts.append(round(k / self.fps, 3))
+                fh = hashlib.sha256((p or b"") + k.to_bytes(4, "little")).digest()
+                feats.append(np.frombuffer(fh[: self.FEATURE_DIM], dtype=np.uint8).astype(np.float32) / 255.0)
+        mat = np.stack(feats) if feats else np.empty((0, self.FEATURE_DIM), dtype=np.float32)
+        feat_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.reshape(-1), type=pa.float32()), self.FEATURE_DIM
+        )
+        return pa.table(
+            {
+                "media_ref": pa.array(o_ref, pa.string()),
+                "frame_idx": pa.array(o_idx, pa.int32()),
+                "ts_sec": pa.array(o_ts, pa.float32()),
+                "features": feat_col,
+            }
+        )
+
+
 def media_spans_table(docs_batch: pa.Table) -> pa.Table:
     """Explode media spans of interleaved docs into a (doc_id, media_ref,
     kind, payload) table; payload is a deterministic fake body derived

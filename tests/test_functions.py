@@ -313,3 +313,35 @@ class TestMultimodal:
 
         with pytest.raises(NotImplementedError):
             ImageDecoder(use_fake=False)._decode_one(b"xx")
+
+    def test_video_frame_sampler_flattens(self, ray_session):
+        from fancyrag_ray.stages.multimodal import VideoFrameSampler
+
+        media = rd.from_arrow(
+            pa.table({"media_ref": ["v1", "v2"], "payload": [b"abc" * 20, b"def" * 20]})
+        )
+        frames = media.map_batches(
+            VideoFrameSampler, fn_constructor_kwargs={"fps": 2.0, "max_frames": 6},
+            batch_format="pyarrow", batch_size=64, concurrency=(1, 2),
+        ).to_pandas()
+        assert set(frames.columns) == {"media_ref", "frame_idx", "ts_sec", "features"}
+        # 1→N flattening: multiple frames per input, capped, 0-based idx
+        per_ref = frames.groupby("media_ref")["frame_idx"].agg(["count", "min", "max"])
+        assert (per_ref["count"] <= 6).all() and (per_ref["count"] >= 1).all()
+        assert (per_ref["min"] == 0).all()
+        assert all(len(f) == VideoFrameSampler.FEATURE_DIM for f in frames["features"])
+        # deterministic frame features
+        f2 = media.map_batches(
+            VideoFrameSampler, fn_constructor_kwargs={"fps": 2.0, "max_frames": 6},
+            batch_format="pyarrow", batch_size=64, concurrency=(1, 2),
+        ).to_pandas()
+        key = ["media_ref", "frame_idx"]
+        pd.testing.assert_frame_equal(
+            frames.sort_values(key).reset_index(drop=True), f2.sort_values(key).reset_index(drop=True)
+        )
+
+    def test_video_real_decode_gated(self):
+        from fancyrag_ray.stages.multimodal import VideoFrameSampler
+
+        with pytest.raises(NotImplementedError):
+            VideoFrameSampler(use_fake=False)(pa.table({"media_ref": ["x"], "payload": [b"y"]}))
