@@ -73,6 +73,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         est = approx_distinct(ds, "o_custkey")
         return pa.table({"approx_distinct_custkey": pa.array([int(round(est))], pa.int64())})
 
+    def approx_top_sources(sf_dir: str):
+        """Misra–Gries heavy hitters over documents.source — mergeable
+        sketch (keys never shuffle; one ≤k-entry summary per block). No
+        SQL oracle: approximate by design; the frequency guarantee is
+        asserted vs exact counts in tests."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from fancyrag_ray.functions.sketches import approx_heavy_hitters
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+        top = approx_heavy_hitters(ds, "source", k=64, top=10)
+        return pa.table(
+            {
+                "source": pa.array([t[0] for t in top], pa.string()),
+                "approx_count": pa.array([int(t[1]) for t in top], pa.int64()),
+            }
+        )
+
     def kg_llm_extract_triples(sf_dir: str):
         """A3 LLM-backed extraction end-to-end over driver documents: the
         deterministic fake transport drives the full actor-pool path
@@ -152,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": T.dedup_exact,
         "quality_scores": T.quality_scores,
         "doc_rollup": T.doc_rollup,
+        "sample_documents_hash": T.sample_documents_hash,
         # similarity search
         "knn_cosine": S.knn_cosine,
         "knn_cosine_lsh": S.knn_cosine_lsh,
@@ -161,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_minhash": near_dup_minhash,
         "near_dup_simhash": near_dup_simhash,
         "approx_distinct_customers": approx_distinct_customers,
+        "approx_top_sources": approx_top_sources,
         # flagship end-to-end on driver data (no SQL oracle: multi-stage)
         "kg_flagship_edges": kg_flagship_edges,
         "kg_llm_extract_triples": kg_llm_extract_triples,
@@ -193,5 +214,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": T.DEDUP_EXACT_SQL,
         "quality_scores": T.QUALITY_SCORES_SQL,
         "doc_rollup": T.DOC_ROLLUP_SQL,
+        "sample_documents_hash": T.SAMPLE_DOCUMENTS_HASH_SQL,
         "knn_cosine": S.KNN_COSINE_SQL,
     }

@@ -261,9 +261,11 @@ def main() -> None:
             "revenue_by_nation": timed(R.revenue_by_nation),
             "events_hourly": timed(R.events_hourly),
             "events_sessions": timed(R.events_sessions),
+            "events_sessions_sharded": timed(R.events_sessions_sharded),
             "chunk_documents": timed(T.chunk_documents),
             "term_mentions": timed(T.term_mentions),
             "dedup_exact": timed(T.dedup_exact),
+            "sample_documents_hash": timed(T.sample_documents_hash),
             "knn_cosine": timed(S.knn_cosine),
             "near_dup_minhash": timed(
                 lambda sf: minhash_lsh_duplicates(

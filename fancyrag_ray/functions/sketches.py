@@ -64,6 +64,68 @@ def _hash_strings(values: list) -> np.ndarray:
     return out
 
 
+class MisraGries:
+    """Misra–Gries heavy-hitters summary of width k: after any stream,
+    every item with true frequency > n/(k+1) is present, and each
+    reported count undercounts by at most n/(k+1). Mergeable: combine
+    counters, then decrement-all by the (k+1)-th largest and drop
+    non-positives — so one small dict per block crosses the wire."""
+
+    def __init__(self, k: int = 64):
+        self.k = k
+        self.counters: dict = {}
+
+    def add_many(self, values: list) -> None:
+        c = self.counters
+        k = self.k
+        for v in values:
+            if v in c:
+                c[v] += 1
+            elif len(c) < k:
+                c[v] = 1
+            else:
+                # decrement-all; drop zeros (batch form of the classic step)
+                drop = [key for key in c if c[key] == 1]
+                for key in c:
+                    c[key] -= 1
+                for key in drop:
+                    del c[key]
+        self.counters = c
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        c = dict(self.counters)
+        for v, n in other.counters.items():
+            c[v] = c.get(v, 0) + n
+        if len(c) > self.k:
+            cut = sorted(c.values(), reverse=True)[self.k]
+            c = {v: n - cut for v, n in c.items() if n - cut > 0}
+        self.counters = c
+        return self
+
+
+def approx_heavy_hitters(ds: rd.Dataset, col: str, k: int = 64, top: int = 10) -> list[tuple]:
+    """Approximate top-``top`` most frequent values of ``col``: one
+    width-k Misra–Gries summary per block, merged associatively on the
+    driver (≤ num_blocks dicts of ≤ k entries — the keys never shuffle).
+    Guaranteed to contain every value with frequency > n/(k+1)."""
+    import json as _json
+
+    def sketch_block(t: pa.Table) -> pa.Table:
+        s = MisraGries(k)
+        s.add_many(t.column(col).to_pylist())
+        return pa.table({"counters": pa.array([_json.dumps(s.counters, default=str)], pa.string())})
+
+    merged = MisraGries(k)
+    for b in ds.select_columns([col]).map_batches(
+        sketch_block, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_format="pyarrow"):
+        for raw in b.column("counters").to_pylist():
+            other = MisraGries(k)
+            other.counters = _json.loads(raw)
+            merged.merge(other)
+    return sorted(merged.counters.items(), key=lambda kv: (-kv[1], str(kv[0])))[:top]
+
+
 def approx_distinct(ds: rd.Dataset, col: str, p: int = 12) -> float:
     """Approximate COUNT(DISTINCT col): one serialized sketch per block →
     driver-side merge of ≤ num_blocks tiny register arrays."""

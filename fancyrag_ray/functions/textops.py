@@ -253,6 +253,35 @@ FROM documents
 """
 
 
+SAMPLE_RATE_BP = 1000  # 10.00% in basis points
+
+
+def sample_documents_hash(sf_dir: str, rate_bp: int = SAMPLE_RATE_BP) -> rd.Dataset:
+    """Deterministic hash sampling — the training-data-pipeline sampling
+    operator the reference lacks (SURVEY §2.6 "no sampling operators"),
+    built so it IS oracle-checkable: keep a doc iff the first 4 hex chars
+    of md5(doc_id) fall below the rate threshold. Hash-based (not RNG)
+    sampling is the scale idiom anyway: resumable, shuffle-free,
+    partition-independent, and consistent across reruns and engines."""
+    thresh = format((65536 * rate_bp) // 10000, "04x")
+    ds = _read_docs(sf_dir, ["doc_id", "source", "n_chars"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        keep = pa.array(
+            [hashlib.md5(str(d).encode()).hexdigest()[:4] < thresh for d in ids], pa.bool_()
+        )
+        return t.filter(keep)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SAMPLE_DOCUMENTS_HASH_SQL = f"""
+SELECT doc_id, source, n_chars FROM documents
+WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 4) < '{format((65536 * SAMPLE_RATE_BP) // 10000, "04x")}'
+"""
+
+
 def doc_rollup(sf_dir: str) -> rd.Dataset:
     """G9 parity: per-doc chunk counts via the exact chunk-count formula."""
     ds = _read_docs(sf_dir, ["doc_id", "text", "n_chars"])

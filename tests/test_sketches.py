@@ -41,3 +41,62 @@ class TestHll:
         est = approx_distinct(ds, "o_custkey")
         exact = len(set(ds.to_pandas()["o_custkey"]))
         assert abs(est - exact) / exact < 0.1
+
+
+class TestMisraGries:
+    def test_heavy_hitter_guarantee_on_zipf(self):
+        import numpy as np
+
+        from fancyrag_ray.functions.sketches import MisraGries
+
+        rng = np.random.default_rng(0)
+        stream = [f"v{z}" for z in rng.zipf(1.5, 20000) if z < 1000]
+        mg = MisraGries(k=32)
+        mg.add_many(stream)
+        from collections import Counter
+
+        exact = Counter(stream)
+        n = len(stream)
+        # every value with true frequency > n/(k+1) must be present
+        for v, c in exact.items():
+            if c > n / 33:
+                assert v in mg.counters, f"{v} (count {c}) missing"
+        # reported counts undercount by at most n/(k+1)
+        for v, c in mg.counters.items():
+            assert exact[v] >= c >= exact[v] - n / 33
+
+    def test_merge_matches_single_pass_guarantees(self):
+        from collections import Counter
+
+        from fancyrag_ray.functions.sketches import MisraGries
+
+        a = ["x"] * 500 + ["y"] * 300 + [f"n{i}" for i in range(200)]
+        b = ["x"] * 400 + ["z"] * 350 + [f"m{i}" for i in range(200)]
+        m1 = MisraGries(k=16)
+        m1.add_many(a)
+        m2 = MisraGries(k=16)
+        m2.add_many(b)
+        m1.merge(m2)
+        exact = Counter(a + b)
+        n = len(a) + len(b)
+        for v, c in exact.items():
+            if c > n / 17:
+                assert v in m1.counters
+        top = max(m1.counters, key=m1.counters.get)
+        assert top == "x"
+
+    def test_distributed_top_sources(self, ray_session):
+        import pyarrow.parquet as pq
+        import ray.data as rd
+        from collections import Counter
+
+        from fancyrag_ray.functions.sketches import approx_heavy_hitters
+
+        sf = "/root/testdata/sf0.001"
+        ds = rd.read_parquet(f"{sf}/documents.parquet", columns=["source"])
+        top = approx_heavy_hitters(ds, "source", k=64, top=5)
+        exact = Counter(pq.read_table(f"{sf}/documents.parquet", columns=["source"]).column("source").to_pylist())
+        # k=64 >> distinct sources ⇒ counts are EXACT; compare with the
+        # sketch's own deterministic (-count, name) tie-break
+        want = sorted(exact.items(), key=lambda kv: (-kv[1], str(kv[0])))[:5]
+        assert top == want
