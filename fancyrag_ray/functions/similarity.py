@@ -173,10 +173,29 @@ def knn_cosine_ivf(
     sample_rows: int = 2048, seed: int = 42,
 ) -> rd.Dataset:
     """Approximate top-k via IVF: train the coarse quantizer on a seeded
-    sample, then score only vectors in the query's nprobe cells.
-    Rows-only driver check; recall vs brute force asserted in tests."""
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
-    sample = _embedding_matrix(t.slice(0, min(sample_rows, t.num_rows)))
+    UNIFORM sample (deterministic hash-threshold selection per batch —
+    the first-N-rows shortcut trains on whatever order the file happens
+    to have and skews the centroids), then score only vectors in the
+    query's nprobe cells. Rows-only driver check; recall vs brute force
+    asserted in tests."""
+    import zlib
+
+    n_total = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    rate = min(1.0, (sample_rows * 1.3) / max(1, n_total))
+    thresh = int(rate * 0xFFFFFFFF)
+
+    def pick_sample(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_pylist()
+        keep = pa.array([zlib.crc32(f"{seed}:{v}".encode()) <= thresh for v in ids], pa.bool_())
+        return t.filter(keep)
+
+    sample_ds = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .map_batches(pick_sample, batch_format="pyarrow")
+        .limit(sample_rows)
+    )
+    sample_tbl = pa.concat_tables(list(sample_ds.iter_batches(batch_format="pyarrow")))
+    sample = _embedding_matrix(sample_tbl)
     index = IvfIndex(sample, n_cells=n_cells, seed=seed)
     q = _query_vector(sf_dir, query_vec_id)
     qn = q / np.linalg.norm(q)
