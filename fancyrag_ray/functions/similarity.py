@@ -255,6 +255,11 @@ def embedding_near_duplicates(
         duplicate-heavy buckets are near-cliques where the cap loses
         nothing after pair dedup across tables);
       * pairs dedup across tables on (vec_a, vec_b).
+
+    On the driver's random-embedding testdata this correctly returns 0
+    rows at the default threshold — independent random vectors never
+    reach cos 0.9; the planted-duplicate and mega-cluster behavior is
+    pinned in ``tests/test_export_similarity.py::TestEmbeddingNearDup``.
     """
     from ray.data.aggregate import Count as _Count, Min as _Min
 
