@@ -25,7 +25,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..stages.canonicalize import connected_components
-from ..util import adaptive_partitions
+from ..util import BROADCAST_BUDGET_BYTES, adaptive_partitions, dataset_mean_row_bytes, fits_broadcast
 
 _M61 = (1 << 61) - 1
 
@@ -67,6 +67,7 @@ def minhash_lsh_duplicates(
     shingle_n: int = 3,
     all_pairs_bucket_limit: int = 64,
     est_margin: float = 0.1,
+    broadcast_budget_bytes: int = BROADCAST_BUDGET_BYTES,
 ) -> rd.Dataset:
     """Returns (doc_id, keep) rows: one row per doc in a near-dup cluster,
     with ``keep`` = the cluster's canonical (minimum) doc id.
@@ -77,10 +78,12 @@ def minhash_lsh_duplicates(
       2. band rows carry only (band, band_hash, doc_id) — the 8×-bigger
          signature is NOT duplicated into every band row;
       3. multi-member buckets found by a count aggregate and applied as
-         a BOUNDED broadcast filter below 5M keys / a semi-join on
-         (band, band_hash) above — never an unbounded driver set;
-      4. signatures for surviving candidates attached from a bounded
-         broadcast map below 5M docs, by join above;
+         a BOUNDED broadcast filter when the key set fits the BYTE
+         budget (``fits_broadcast`` — rows × mean width, not a row
+         count) / a semi-join on (band, band_hash) above it — never an
+         unbounded driver set;
+      4. signatures for surviving candidates attached from a
+         byte-budgeted broadcast map, by join above it;
       5. per-bucket candidate pairs: all pairs for buckets ≤
          ``all_pairs_bucket_limit`` members, star pairs (each member vs
          the bucket minimum) above it — duplicate-heavy crawls produce
@@ -155,15 +158,18 @@ def minhash_lsh_duplicates(
     )
     n_multi = multi.count()
     if n_multi == 0:
-        return pa.table({"doc_id": pa.array([], pa.string()), "keep": pa.array([], pa.string())})
+        return rd.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.string()), "keep": pa.array([], pa.string())})
+        )
 
     # Tiered semi-join + sig fetch (same pattern as qa._anti_count): a
-    # BOUNDED broadcast below the limits — each join here costs a full
-    # hash shuffle whose fixed overhead dwarfs small inputs — and the
-    # hash join above them, so nothing unbounded ever reaches the driver.
-    broadcast_limit = 5_000_000
+    # byte-BUDGETED broadcast below the limit — each join here costs a
+    # full hash shuffle whose fixed overhead dwarfs small inputs — and
+    # the hash join above it, so nothing unbounded ever reaches the
+    # driver (rows × mean width, not a row count: 5M narrow keys fit,
+    # 500k wide rows do not).
     parts = adaptive_partitions(16, n_rows=n_multi)
-    if n_multi <= broadcast_limit:
+    if fits_broadcast(n_multi, dataset_mean_row_bytes(multi, n_multi), broadcast_budget_bytes):
         import ray as _ray
 
         hot_keys: set = set()
@@ -184,7 +190,7 @@ def minhash_lsh_duplicates(
         hot_rows = bands.join(multi, join_type="inner", num_partitions=parts, on=("band", "band_hash"))
 
     n_docs_total = sigs.count()
-    if n_docs_total <= broadcast_limit:
+    if fits_broadcast(n_docs_total, dataset_mean_row_bytes(sigs, n_docs_total), broadcast_budget_bytes):
         import ray as _ray
 
         sig_map: dict = {}
@@ -240,9 +246,15 @@ def minhash_lsh_duplicates(
     # Jaccard verify" is now true — estimates only prefilter)
     n_pairs = pairs.count()
     if n_pairs == 0:
-        return pa.table({"doc_id": pa.array([], pa.string()), "keep": pa.array([], pa.string())})
-    pair_broadcast_limit = 500_000
-    if n_pairs <= pair_broadcast_limit:
+        return rd.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.string()), "keep": pa.array([], pa.string())})
+        )
+    # endpoint-text broadcast is budgeted in BYTES of the documents it
+    # would pull (2 texts per pair at the corpus mean width) — long
+    # documents blow a row-count limit long before 500k pairs
+    n_texts_total = texts.count()
+    est_text_bytes = dataset_mean_row_bytes(texts, n_texts_total)
+    if fits_broadcast(2 * n_pairs, est_text_bytes, broadcast_budget_bytes):
         # bounded: fetch ONLY the pair-endpoint texts (≤ 2·n_pairs docs,
         # selected by a shuffle-free filter) and verify map-side
         import ray as _ray
@@ -316,16 +328,40 @@ class SimHasher:
         return int(((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
 
 
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (np.bitwise_count when the
+    numpy build has it, byte-table fallback otherwise)."""
+    if hasattr(np, "bitwise_count"):
+        return np.bitwise_count(x).astype(np.int64)
+    return _POP8[x.view(np.uint8)].reshape(len(x), 8).sum(axis=1).astype(np.int64)
+
+
 def simhash_duplicates(
     docs: rd.Dataset,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    all_pairs_bucket_limit: int = 64,
 ) -> rd.Dataset:
     """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
     4-way banding: any pair within distance 3 shares at least one intact
     16-bit quarter (pigeonhole), so grouping on (band, quarter-value)
-    surfaces every candidate; exact Hamming check inside the bucket."""
+    surfaces every candidate; exact Hamming check inside the bucket.
+
+    Scale shape: 16-bit band keys SATURATE around ~10M docs (every
+    (band, key) bucket holds ~n/65536 members), so the in-bucket check
+    must not be O(m²) Python. Two defenses:
+      * the Hamming check is one vectorized uint64 XOR + popcount over
+        the candidate index arrays — no per-pair Python;
+      * buckets above ``all_pairs_bucket_limit`` members emit STAR pairs
+        only (each member vs the bucket's minimum id) — O(m) instead of
+        O(m²). Duplicate-heavy buckets are near-cliques, so the star
+        plus a transitive pass (``connected_components`` on the pairs)
+        recovers the full cluster; pairs NOT involving the bucket
+        minimum are intentionally not enumerated above the cap."""
 
     class Emit:
         def __init__(self):
@@ -372,12 +408,14 @@ def simhash_duplicates(
     )
     n_multi = multi.count()
     if n_multi == 0:
-        return pa.table(
-            {
-                "doc_a": pa.array([], pa.string()),
-                "doc_b": pa.array([], pa.string()),
-                "hamming": pa.array([], pa.int64()),
-            }
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([], pa.string()),
+                    "doc_b": pa.array([], pa.string()),
+                    "hamming": pa.array([], pa.int64()),
+                }
+            )
         )
     bands = bands.join(
         multi, join_type="inner", num_partitions=adaptive_partitions(16, n_rows=n_multi),
@@ -385,23 +423,25 @@ def simhash_duplicates(
     )
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b, out_d = [], [], []
-        if len(df) >= 2:
-            df = df.sort_values(id_col)
-            ids = df[id_col].tolist()
-            fps = df["fp"].tolist()
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    if ids[i] == ids[j]:
-                        continue
-                    d = bin(int(fps[i]) ^ int(fps[j])).count("1")
-                    if d <= max_hamming:
-                        out_a.append(str(ids[i]))
-                        out_b.append(str(ids[j]))
-                        out_d.append(d)
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": out_d}).astype(
+        empty = pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(
             {"doc_a": object, "doc_b": object, "hamming": "int64"}
         )
+        df = df.drop_duplicates(id_col).sort_values(id_col)
+        m = len(df)
+        if m < 2:
+            return empty
+        ids = df[id_col].astype(str).to_numpy(dtype=object)
+        fps = df["fp"].to_numpy(dtype=np.uint64)
+        if m <= all_pairs_bucket_limit:
+            ai, bi = np.triu_indices(m, k=1)
+        else:  # saturated bucket: star around the minimum id — O(m)
+            ai = np.zeros(m - 1, dtype=np.int64)
+            bi = np.arange(1, m, dtype=np.int64)
+        d = _popcount64(fps[ai] ^ fps[bi])
+        keep = d <= max_hamming
+        return pd.DataFrame(
+            {"doc_a": ids[ai[keep]], "doc_b": ids[bi[keep]], "hamming": d[keep]}
+        ).astype({"doc_a": object, "doc_b": object, "hamming": "int64"})
 
     pair_ds = bands.groupby(["band", "key"]).map_groups(pairs, batch_format="pandas")
 

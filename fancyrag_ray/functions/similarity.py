@@ -313,8 +313,10 @@ def embedding_near_duplicates(
     )
     n_multi = multi.count()
     if n_multi == 0:
-        return pa.table({"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
-                         "cos": pa.array([], pa.float64())})
+        return rd.from_arrow(
+            pa.table({"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
+                      "cos": pa.array([], pa.float64())})
+        )
     parts = adaptive_partitions(16, n_rows=n_multi)
     hot = buckets.join(multi, join_type="inner", num_partitions=parts, on=("table", "bucket"))
     cand = hot.join(packed, join_type="inner", num_partitions=parts, on=("vec_id",))
@@ -345,7 +347,9 @@ def embedding_near_duplicates(
 
     pair_ds = cand.groupby(["table", "bucket"]).map_groups(pairs_in_bucket, batch_format="pandas").materialize()
     if pair_ds.count() == 0:  # 0-row groupby loses its schema downstream
-        return pa.table({"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
-                         "cos": pa.array([], pa.float64())})
+        return rd.from_arrow(
+            pa.table({"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
+                      "cos": pa.array([], pa.float64())})
+        )
     # a pair can surface in several tables → dedup on (vec_a, vec_b)
     return pair_ds.groupby(["vec_a", "vec_b"]).aggregate(_Min("cos", alias_name="cos"))

@@ -106,22 +106,33 @@ class MisraGries:
 def approx_heavy_hitters(ds: rd.Dataset, col: str, k: int = 64, top: int = 10) -> list[tuple]:
     """Approximate top-``top`` most frequent values of ``col``: one
     width-k Misra–Gries summary per block, merged associatively on the
-    driver (≤ num_blocks dicts of ≤ k entries — the keys never shuffle).
-    Guaranteed to contain every value with frequency > n/(k+1)."""
-    import json as _json
+    driver (≤ num_blocks summaries of ≤ k entries — the keys never
+    shuffle). Guaranteed to contain every value with frequency >
+    n/(k+1). Per-block summaries travel as parallel key/count Arrow
+    columns in the column's NATIVE type — a JSON dict would stringify
+    int/date keys and silently merge distinct values that stringify
+    identically (1 vs "1")."""
 
     def sketch_block(t: pa.Table) -> pa.Table:
         s = MisraGries(k)
         s.add_many(t.column(col).to_pylist())
-        return pa.table({"counters": pa.array([_json.dumps(s.counters, default=str)], pa.string())})
+        keys = list(s.counters.keys())
+        # ONE row per block summary (list-typed), so downstream batch
+        # coalescing can never interleave two summaries' rows
+        return pa.table(
+            {
+                "keys": pa.array([keys], type=pa.list_(t.schema.field(col).type)),
+                "counts": pa.array([[s.counters[x] for x in keys]], type=pa.list_(pa.int64())),
+            }
+        )
 
     merged = MisraGries(k)
     for b in ds.select_columns([col]).map_batches(
         sketch_block, batch_format="pyarrow", batch_size=None
     ).iter_batches(batch_format="pyarrow"):
-        for raw in b.column("counters").to_pylist():
+        for keys, counts in zip(b.column("keys").to_pylist(), b.column("counts").to_pylist()):
             other = MisraGries(k)
-            other.counters = _json.loads(raw)
+            other.counters = dict(zip(keys, counts))
             merged.merge(other)
     return sorted(merged.counters.items(), key=lambda kv: (-kv[1], str(kv[0])))[:top]
 

@@ -57,13 +57,19 @@ class QaMetrics:
 
 
 def _anti_count(left: rd.Dataset, left_key: str, right: rd.Dataset, right_key: str,
-                broadcast_limit: int = 5_000_000) -> int:
-    """Count left rows with no right match. Small right side → broadcast
-    key set filtered inside map_batches (no shuffle); large → hash
-    left_anti join."""
-    n_right = right.count()
-    if n_right <= broadcast_limit:
-        keys = set(right.unique(right_key))
+                broadcast_budget_bytes: int | None = None) -> int:
+    """Count left rows with no right match. Right key column within the
+    broadcast BYTE budget (rows × mean width, ``util.fits_broadcast``) →
+    broadcast key set filtered inside map_batches (no shuffle); larger →
+    hash left_anti join. The key column is materialized once so the
+    size/count probe and the consumption don't re-execute its lineage."""
+    from ..util import BROADCAST_BUDGET_BYTES, dataset_mean_row_bytes, fits_broadcast
+
+    budget = BROADCAST_BUDGET_BYTES if broadcast_budget_bytes is None else broadcast_budget_bytes
+    keys_ds = right.select_columns([right_key]).materialize()
+    n_right = keys_ds.count()
+    if fits_broadcast(n_right, dataset_mean_row_bytes(keys_ds, n_right), budget):
+        keys = set(keys_ds.unique(right_key))
 
         def f(t: pa.Table) -> pa.Table:
             vals = t.column(left_key).to_pylist()
@@ -72,7 +78,7 @@ def _anti_count(left: rd.Dataset, left_key: str, right: rd.Dataset, right_key: s
 
         return left.select_columns([left_key]).map_batches(f, batch_format="pyarrow").count()
     return left.join(
-        right, join_type="left_anti", num_partitions=adaptive_partitions(32),
+        keys_ds, join_type="left_anti", num_partitions=adaptive_partitions(32),
         on=(left_key,), right_on=(right_key,)
     ).count()
 

@@ -168,6 +168,7 @@ def _cc_contract(edges: rd.Dataset, src_col: str, dst_col: str, driver_node_limi
     )
     local_forest = _local_forest_fn(src_col, dst_col)
     m_prev = None
+    m = None
     for _level in range(8):
         forest = forest.map_batches(local_forest, batch_format="pyarrow", batch_size=None).materialize()
         m = forest.count()
@@ -182,6 +183,14 @@ def _cc_contract(edges: rd.Dataset, src_col: str, dst_col: str, driver_node_limi
         m_prev = m
         nblocks = forest.num_blocks() if hasattr(forest, "num_blocks") else 8
         forest = forest.repartition(max(1, nblocks // 8))
+    if m is not None and m > driver_node_limit:
+        # Level budget exhausted while still above the documented driver
+        # bound: refusing beats a silent driver OOM on the final resolve.
+        raise RuntimeError(
+            f"connected_components: forest still has {m} edges after 8 "
+            f"contraction levels (> driver_node_limit {driver_node_limit}) — "
+            "use algorithm='labelprop' for node sets beyond driver memory"
+        )
     # final resolve on the driver: ≤ |distinct nodes| forest edges
     parent: dict = {}
 

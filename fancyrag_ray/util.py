@@ -3,6 +3,40 @@
 from __future__ import annotations
 
 import ray
+import ray.data as rd
+
+# Heap share one broadcast lookup structure may claim on the driver (and
+# on every worker that ray.gets it). 256 MiB raw-bytes: with the Python
+# dict/set overhead factor below that is ~1 GiB resident — conservative
+# for a 128 GiB box, survivable on a small cluster head node.
+BROADCAST_BUDGET_BYTES = 256 * 1024 * 1024
+
+# Arrow bytes → Python dict/set resident bytes multiplier (measured:
+# str→bytes dicts land 3-5× their Arrow footprint once PyObject headers
+# and hash-table slack are counted).
+_PY_OVERHEAD = 4.0
+
+
+def fits_broadcast(
+    n_rows: int, mean_row_bytes: float, budget_bytes: int = BROADCAST_BUDGET_BYTES
+) -> bool:
+    """Tier decision for broadcast-vs-join: True iff a driver-side lookup
+    structure of ``n_rows`` entries averaging ``mean_row_bytes`` fits the
+    byte budget. Row-count limits alone are wrong in both directions — 5M
+    narrow keys fit easily while 500k wide documents do not."""
+    return n_rows * mean_row_bytes * _PY_OVERHEAD <= budget_bytes
+
+
+def dataset_mean_row_bytes(ds: rd.Dataset, n_rows: int) -> float:
+    """Mean serialized row width of a (preferably materialized) dataset;
+    falls back to a conservative 64 B when size metadata is unavailable."""
+    try:
+        sz = ds.size_bytes()
+    except Exception:
+        sz = None
+    if not sz or not n_rows:
+        return 64.0
+    return sz / n_rows
 
 
 def adaptive_partitions(requested: int, minimum: int = 2, n_rows: int | None = None) -> int:

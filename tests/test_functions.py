@@ -345,3 +345,122 @@ class TestMultimodal:
 
         with pytest.raises(NotImplementedError):
             VideoFrameSampler(use_fake=False)(pa.table({"media_ref": ["x"], "payload": [b"y"]}))
+
+
+class TestBroadcastBudget:
+    def test_bytes_not_rows(self):
+        from fancyrag_ray.util import fits_broadcast
+
+        # 5M narrow keys (10 B) fit a 256 MiB budget…
+        assert fits_broadcast(5_000_000, 10.0)
+        # …but 5M wide signatures (512 B) do not,
+        assert not fits_broadcast(5_000_000, 512.0)
+        # and neither do 500k long documents (4 KiB) — a row-count cap
+        # would have waved both through.
+        assert not fits_broadcast(500_000, 4096.0)
+
+    def test_dataset_mean_row_bytes(self, ray_session):
+        from fancyrag_ray.util import dataset_mean_row_bytes
+
+        ds = rd.from_arrow(pa.table({"x": ["a" * 100] * 50})).materialize()
+        w = dataset_mean_row_bytes(ds, 50)
+        assert 50 <= w <= 400  # ~100 B payload + arrow overhead
+
+
+class TestDedupCleanCorpus:
+    """Empty-result paths must return a Dataset (``.count()`` works) —
+    the round-2 early returns leaked bare pa.Table (VERDICT r2 #3)."""
+
+    @pytest.fixture()
+    def clean_docs(self):
+        rng = np.random.default_rng(7)
+        texts = [
+            " ".join(f"tok{rng.integers(0, 1_000_000)}" for _ in range(40)) for _ in range(60)
+        ]
+        return rd.from_arrow(pa.table({"doc_id": [f"d{i}" for i in range(60)], "text": texts}))
+
+    def test_minhash_clean_returns_dataset(self, clean_docs, ray_session):
+        from fancyrag_ray.functions.dedup import minhash_lsh_duplicates
+
+        out = minhash_lsh_duplicates(clean_docs)
+        assert isinstance(out, rd.Dataset)
+        assert out.count() == 0
+
+    def test_simhash_clean_returns_dataset(self, clean_docs, ray_session):
+        from fancyrag_ray.functions.dedup import simhash_duplicates
+
+        out = simhash_duplicates(clean_docs)
+        assert isinstance(out, rd.Dataset)
+        assert out.count() == 0
+
+    def test_embedding_neardup_clean_returns_dataset(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from fancyrag_ray.functions.similarity import embedding_near_duplicates
+
+        # orthonormal vectors: every pairwise cosine is exactly 0
+        dim = 32
+        eye = np.eye(dim, dtype=np.float32)
+        pq.write_table(
+            pa.table({"vec_id": pa.array(range(dim), pa.int64()),
+                      "embedding": pa.array([list(map(float, r)) for r in eye],
+                                            pa.list_(pa.float32()))}),
+            tmp_path / "embeddings.parquet",
+        )
+        out = embedding_near_duplicates(str(tmp_path))
+        assert isinstance(out, rd.Dataset)
+        assert out.count() == 0
+
+    def test_minhash_join_tier_matches_broadcast_tier(self, ray_session):
+        """broadcast_budget_bytes=0 forces every broadcast tier onto its
+        join fallback; results must be identical."""
+        from fancyrag_ray.functions.dedup import minhash_lsh_duplicates
+
+        base = " ".join(f"word{i}" for i in range(60))
+        near = base.replace("word30", "changed")
+        other = "completely different content about ray data pipelines and arrow batches " * 8
+        docs = rd.from_arrow(
+            pa.table({"doc_id": ["a", "a2", "b", "c"], "text": [base, base, near, other]})
+        )
+        want = minhash_lsh_duplicates(docs, jaccard_threshold=0.7).to_pandas()
+        got = minhash_lsh_duplicates(docs, jaccard_threshold=0.7, broadcast_budget_bytes=0).to_pandas()
+        key = ["doc_id"]
+        pd.testing.assert_frame_equal(
+            want.sort_values(key).reset_index(drop=True), got.sort_values(key).reset_index(drop=True)
+        )
+
+
+class TestSimhashMegaBucket:
+    def test_saturated_bucket_is_linear(self, ray_session):
+        """20k identical docs land in ONE (band,key) bucket per band; the
+        star cap + vectorized XOR/popcount must finish in O(m) — the old
+        per-pair Python loop would enumerate 2·10⁸ pairs and hang."""
+        import time
+
+        from fancyrag_ray.functions.dedup import simhash_duplicates
+
+        m = 20_000
+        docs = rd.from_arrow(
+            pa.table({"doc_id": [f"d{i:06d}" for i in range(m)],
+                      "text": ["alpha beta gamma delta epsilon zeta"] * m})
+        )
+        t0 = time.time()
+        out = simhash_duplicates(docs).to_pandas()
+        took = time.time() - t0
+        # star around the min id: exactly m-1 pairs, all hamming 0
+        assert len(out) == m - 1
+        assert set(out["doc_a"]) == {"d000000"}
+        assert (out["hamming"] == 0).all()
+        assert took < 120, f"mega-bucket took {took:.1f}s — star cap not effective"
+
+    def test_star_cap_preserves_small_buckets(self, ray_session):
+        """Buckets below the cap still enumerate ALL pairs."""
+        from fancyrag_ray.functions.dedup import simhash_duplicates
+
+        docs = rd.from_arrow(
+            pa.table({"doc_id": ["a", "b", "c"],
+                      "text": ["one two three four five six"] * 3})
+        )
+        out = simhash_duplicates(docs).to_pandas()
+        pairs = set(zip(out["doc_a"], out["doc_b"]))
+        assert pairs == {("a", "b"), ("a", "c"), ("b", "c")}

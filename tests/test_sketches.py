@@ -100,3 +100,15 @@ class TestMisraGries:
         # sketch's own deterministic (-count, name) tie-break
         want = sorted(exact.items(), key=lambda kv: (-kv[1], str(kv[0])))[:5]
         assert top == want
+
+    def test_native_key_types_preserved(self, ray_session):
+        """Summaries travel as Arrow columns in the column's native type:
+        int heavy hitters must come back as ints, not JSON-stringified
+        keys (r2 ADVICE: json.dumps merged 1 and "1")."""
+        from fancyrag_ray.functions.sketches import approx_heavy_hitters
+
+        vals = [7] * 50 + [13] * 20 + list(range(100, 130))
+        ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.int64())}))
+        top = approx_heavy_hitters(ds, "v", k=16, top=2)
+        assert [t[0] for t in top] == [7, 13]
+        assert all(isinstance(t[0], int) for t in top)
