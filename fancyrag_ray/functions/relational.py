@@ -427,19 +427,40 @@ def events_sessions_sharded(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
          session ids renumber 1..k per user by t_start."""
     import zlib
 
+    import numpy as np
     import pandas as pd
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
     gap = pd.Timedelta(minutes=gap_minutes)
     n_buckets = adaptive_partitions(64)
 
+    def _mix64(x: "np.ndarray") -> "np.ndarray":
+        # splitmix64 finalizer: vectorized avalanche so adjacent
+        # user/day ints spread across buckets (uint64 wraparound is the
+        # modular arithmetic, not an error)
+        x = x.astype(np.uint64, copy=True)
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xFF51AFD7ED558CCD)
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xC4CEB9FE1A85EC53)
+        x ^= x >> np.uint64(33)
+        return x
+
     def add_keys(t: pa.Table) -> pa.Table:
         day = pc.floor_temporal(t.column("ts"), unit="day")
-        users = t.column("user_id").to_pylist()
-        days = day.to_pylist()
-        bucket = pa.array(
-            [zlib.crc32(f"{u}|{d}".encode()) % n_buckets for u, d in zip(users, days)], pa.int32()
-        )
+        users = t.column("user_id")
+        if pa.types.is_integer(users.type):
+            # hot path: one vectorized mix over (user, day-epoch) ints —
+            # the per-row crc32 loop cost O(events) Python calls
+            u = _mix64(users.to_numpy(zero_copy_only=False))
+            d = _mix64(day.cast(pa.int64()).to_numpy(zero_copy_only=False))
+            bucket = pa.array(((u ^ d) % np.uint64(n_buckets)).astype(np.int32))
+        else:  # generic fallback for string ids
+            bucket = pa.array(
+                [zlib.crc32(f"{u}|{d}".encode()) % n_buckets
+                 for u, d in zip(users.to_pylist(), day.to_pylist())],
+                pa.int32(),
+            )
         return t.append_column("day", day).append_column("bucket", bucket)
 
     def bucket_segments(g: pd.DataFrame) -> pd.DataFrame:
@@ -464,9 +485,14 @@ def events_sessions_sharded(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
     )
 
     def add_user_bucket(t: pa.Table) -> pa.Table:
-        bucket = pa.array(
-            [zlib.crc32(str(u).encode()) % n_buckets for u in t.column("user_id").to_pylist()], pa.int32()
-        )
+        users = t.column("user_id")
+        if pa.types.is_integer(users.type):
+            h = _mix64(users.to_numpy(zero_copy_only=False))
+            bucket = pa.array((h % np.uint64(n_buckets)).astype(np.int32))
+        else:
+            bucket = pa.array(
+                [zlib.crc32(str(u).encode()) % n_buckets for u in users.to_pylist()], pa.int32()
+            )
         return t.append_column("ubucket", bucket)
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:

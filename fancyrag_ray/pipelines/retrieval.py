@@ -37,8 +37,20 @@ def validate_top_k(top_k: int, effective_search_ratio: float = 1.0) -> None:
         raise ValueError(f"effective_search_ratio must be >= 1, got {effective_search_ratio!r}")
 
 
-def vector_topk(embeddings: rd.Dataset, query: np.ndarray, k: int = 5, id_col: str = "chunk_uid") -> pd.DataFrame:
-    validate_top_k(k)
+def vector_topk(
+    embeddings: rd.Dataset,
+    query: np.ndarray,
+    k: int = 5,
+    id_col: str = "chunk_uid",
+    effective_search_ratio: float = 1.0,
+) -> pd.DataFrame:
+    """O3 parity incl. the reference's over-fetch semantics
+    (``runtime.py:30-33``): the vector search retrieves
+    ``k * effective_search_ratio`` candidates so the downstream hybrid
+    join has a deeper pool to re-rank, and the FINAL top-k cut happens
+    after score combination (see :func:`hybrid_search`)."""
+    validate_top_k(k, effective_search_ratio)
+    fetch = int(np.ceil(k * effective_search_ratio))
     qn = query.astype(np.float64)
     n = np.linalg.norm(qn)
     if n > 0:
@@ -51,14 +63,14 @@ def vector_topk(embeddings: rd.Dataset, query: np.ndarray, k: int = 5, id_col: s
         norms = np.linalg.norm(m, axis=1)
         norms[norms == 0] = 1.0
         scores = (m @ qn) / norms
-        take = min(k, len(scores))
+        take = min(fetch, len(scores))
         sel = np.argpartition(-scores, take - 1)[:take] if take else np.array([], dtype=int)
         return pa.table({id_col: t.column(id_col).take(pa.array(sel)), "score_vector": pa.array(scores[sel])})
 
     out = (
         embeddings.map_batches(local, batch_format="pyarrow", batch_size=4096)
         .sort(["score_vector", id_col], descending=[True, False])
-        .limit(k)
+        .limit(fetch)
     )
     return _ensure_cols(out.to_pandas(), id_col, "score_vector")
 
@@ -68,11 +80,18 @@ def fulltext_topk(chunks: rd.Dataset, query_text: str, k: int = 5, id_col: str =
     terms = [t for t in re.findall(r"[a-z0-9]+", query_text.lower()) if len(t) > 1]
     if not terms:
         return pd.DataFrame({id_col: pd.Series(dtype=object), "score_fulltext": pd.Series(dtype=float)})
-    res = [re.compile(rf"\b{re.escape(t)}\b") for t in terms]
+    patterns = [rf"\b{re.escape(t)}\b" for t in terms]
 
     def local(t: pa.Table) -> pa.Table:
-        texts = t.column("text").to_pylist()
-        scores = np.array([sum(len(rx.findall((x or "").lower())) for rx in res) for x in texts], dtype=np.float64)
+        import pyarrow.compute as pc
+
+        # columnar TF scoring: one count_substring_regex kernel per query
+        # term over the lowercased batch — no per-row Python regex loop
+        lowered = pc.utf8_lower(t.column("text"))
+        scores = np.zeros(t.num_rows, dtype=np.float64)
+        for p in patterns:
+            c = pc.count_substring_regex(lowered, p).cast(pa.int64()).to_numpy(zero_copy_only=False)
+            scores += np.nan_to_num(c.astype(np.float64))
         keep = scores > 0
         take = min(k, int(keep.sum()))
         if take == 0:
@@ -112,12 +131,16 @@ def hybrid_search(
     embed_dim: int = 1024,
     embed_seed: int = 42,
     alpha: float = 0.5,
+    effective_search_ratio: float = 1.0,
 ) -> pd.DataFrame:
     """Vector ∪ fulltext hybrid with per-list max normalization and a
-    weighted combined score; returns the top-k hit rows."""
-    validate_top_k(k)
+    weighted combined score; returns the top-k hit rows. A ratio > 1
+    over-fetches the vector side (``k*ratio`` candidates) and applies
+    the final top-k AFTER the hybrid join — reference O3 semantics
+    (``runtime.py:30-33,114-140``)."""
+    validate_top_k(k, effective_search_ratio)
     q = HashEmbedder(dim=embed_dim, seed=embed_seed)._embed_one(query_text)
-    v = vector_topk(embeddings, q, k=k)
+    v = vector_topk(embeddings, q, k=k, effective_search_ratio=effective_search_ratio)
     f = fulltext_topk(chunks, query_text, k=k)
     v["score_vector"] = _max_normalize(v["score_vector"]) if len(v) else v.get("score_vector")
     f["score_fulltext"] = _max_normalize(f["score_fulltext"]) if len(f) else f.get("score_fulltext")

@@ -170,33 +170,48 @@ class TermMentionExtractor:
 
     Emits one row per (doc, term) with the whole-word occurrence count —
     the mention-detection half of extraction, SQL-oracle-checkable with
-    DuckDB ``regexp_extract_all``. Regexes compiled once per actor.
+    DuckDB ``regexp_extract_all``. Fully columnar: one
+    ``pc.count_substring_regex`` kernel call per vocab term over the
+    whole batch (RE2, case-sensitive — same semantics as the previous
+    per-row ``re.findall`` and the DuckDB oracle), no Python row loop.
     """
 
     DEFAULT_VOCAB = ("customer", "part", "supplier", "order", "table", "join", "merge", "vector")
 
     def __init__(self, vocab: tuple[str, ...] = DEFAULT_VOCAB, text_col: str = "text", id_col: str = "doc_id"):
         self.vocab = vocab
-        self.res = {t: re.compile(rf"\b{re.escape(t)}\b") for t in vocab}
+        self.patterns = {t: rf"\b{re.escape(t)}\b" for t in vocab}
         self.text_col = text_col
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column(self.id_col).to_pylist()
-        texts = batch.column(self.text_col).to_pylist()
-        o_id, o_term, o_n = [], [], []
-        for i, text in zip(ids, texts):
-            t = text or ""
-            for term, rx in self.res.items():
-                n = len(rx.findall(t))
-                if n:
-                    o_id.append(i)
-                    o_term.append(term)
-                    o_n.append(n)
-        return pa.table(
-            {
-                self.id_col: pa.array(o_id, type=batch.schema.field(self.id_col).type),
-                "term": pa.array(o_term, type=pa.string()),
-                "n_mentions": pa.array(o_n, type=pa.int64()),
-            }
-        )
+        import pyarrow.compute as pc
+
+        ids = batch.column(self.id_col)
+        texts = batch.column(self.text_col)
+        id_type = batch.schema.field(self.id_col).type
+        parts = [
+            pa.table(
+                {
+                    self.id_col: pa.array([], type=id_type),
+                    "term": pa.array([], type=pa.string()),
+                    "n_mentions": pa.array([], type=pa.int64()),
+                }
+            )
+        ]
+        for term, pattern in self.patterns.items():
+            n = pc.count_substring_regex(texts, pattern).cast(pa.int64())
+            mask = pc.greater(n, pa.scalar(0))  # null text → null → dropped by filter
+            sel_ids = ids.filter(mask)
+            if len(sel_ids) == 0:
+                continue
+            parts.append(
+                pa.table(
+                    {
+                        self.id_col: sel_ids,
+                        "term": pa.array([term] * len(sel_ids), type=pa.string()),
+                        "n_mentions": n.filter(mask),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)

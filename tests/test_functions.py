@@ -284,6 +284,29 @@ class TestRetrieval:
         out = fulltext_topk(chunks, "", k=5)
         assert len(out) == 0
 
+    def test_effective_search_ratio_overfetch(self, ray_session):
+        """O3 parity (reference runtime.py:30-33): vector_topk fetches
+        k*ratio candidates; the final top-k happens after the hybrid
+        join, so a ratio > 1 must return MORE candidate rows from the
+        vector stage and identical ratio=1 behavior otherwise."""
+        from fancyrag_ray.pipelines.retrieval import validate_top_k, vector_topk
+
+        rng = np.random.default_rng(5)
+        emb = rd.from_arrow(
+            pa.table({"chunk_uid": [f"c{i}" for i in range(50)],
+                      "embedding": pa.array([list(map(float, rng.standard_normal(16)))
+                                             for _ in range(50)], pa.list_(pa.float32()))})
+        )
+        q = rng.standard_normal(16)
+        base = vector_topk(emb, q, k=5)
+        deep = vector_topk(emb, q, k=5, effective_search_ratio=3.0)
+        assert len(base) == 5 and len(deep) == 15
+        # over-fetch is a superset-prefix: the top 5 of the deep pool
+        # are exactly the ratio=1 result
+        assert deep["chunk_uid"].tolist()[:5] == base["chunk_uid"].tolist()
+        with pytest.raises(ValueError):
+            validate_top_k(5, effective_search_ratio=0.5)
+
 
 class TestMultimodal:
     def test_decode_plumbing(self, small_corpus, ray_session):
