@@ -138,6 +138,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return hybrid_search(chunks, emb, "customer order supplier", k=5,
                              embed_dim=cfg.embed_dim, embed_seed=cfg.embed_seed)
 
+    def hybrid_search_chunks_indexed(sf_dir: str):
+        """Index-backed serving variant of ``hybrid_search_chunks``: the
+        vector side is served from a provisioned IVF cell-partitioned
+        store and the fulltext side from a posting-bucket store — each
+        query reads ONLY its probed cells/buckets (reference
+        ``runtime.py:30-38`` serves every query from indexes). Rows-only
+        driver check; brute-vs-indexed equality is pytest-pinned."""
+        import tempfile
+
+        import ray.data as rd
+
+        from fancyrag_ray.config import PipelineConfig
+        from fancyrag_ray.pipelines.kg_build import build_chunks, build_embeddings
+        from fancyrag_ray.pipelines.retrieval import hybrid_search
+        from fancyrag_ray.sources.indexes import FtsChunkIndex, IvfChunkIndex
+        from fancyrag_ray.sources.io import interleave_documents
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        inter = docs.map_batches(interleave_documents, batch_format="pyarrow")
+        cfg = PipelineConfig(embed_dim=256)
+        chunks = build_chunks(inter, cfg).materialize()
+        emb = build_embeddings(chunks, cfg).materialize()
+        with tempfile.TemporaryDirectory(prefix="fancyrag_idx_") as d:
+            vec_idx = IvfChunkIndex.build(emb, f"{d}/ivf", n_cells=16)
+            fts_idx = FtsChunkIndex.build(chunks, f"{d}/fts", n_buckets=16)
+            return hybrid_search(
+                None, None, "customer order supplier", k=5,
+                embed_dim=cfg.embed_dim, embed_seed=cfg.embed_seed,
+                vector_index=vec_idx, fts_index=fts_idx,
+            )
+
     def kg_flagship_edges(sf_dir: str):
         import ray.data as rd
 
@@ -186,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_flagship_edges": kg_flagship_edges,
         "kg_llm_extract_triples": kg_llm_extract_triples,
         "hybrid_search_chunks": hybrid_search_chunks,
+        "hybrid_search_chunks_indexed": hybrid_search_chunks_indexed,
     }
 
 

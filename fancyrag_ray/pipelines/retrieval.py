@@ -97,7 +97,13 @@ def fulltext_topk(chunks: rd.Dataset, query_text: str, k: int = 5, id_col: str =
         if take == 0:
             return pa.table({id_col: pa.array([], t.schema.field(id_col).type), "score_fulltext": pa.array([], pa.float64())})
         idx = np.flatnonzero(keep)
-        sel = idx[np.argpartition(-scores[idx], take - 1)[:take]]
+        # local cut under the SAME total order as the global sort
+        # (score desc, id asc) — integer tf scores tie often, and an
+        # argpartition that breaks ties arbitrarily can evict the
+        # globally-winning id inside its own block
+        ids_np = np.asarray(t.column(id_col).to_pylist(), dtype=object)[idx]
+        order = np.lexsort((ids_np, -scores[idx]))[:take]
+        sel = idx[order]
         return pa.table({id_col: t.column(id_col).take(pa.array(sel)), "score_fulltext": pa.array(scores[sel])})
 
     out = (
@@ -124,24 +130,41 @@ def _max_normalize(s: pd.Series) -> pd.Series:
 
 
 def hybrid_search(
-    chunks: rd.Dataset,
-    embeddings: rd.Dataset,
+    chunks: rd.Dataset | None,
+    embeddings: rd.Dataset | None,
     query_text: str,
     k: int = 5,
     embed_dim: int = 1024,
     embed_seed: int = 42,
     alpha: float = 0.5,
     effective_search_ratio: float = 1.0,
+    vector_index=None,
+    fts_index=None,
 ) -> pd.DataFrame:
     """Vector ∪ fulltext hybrid with per-list max normalization and a
     weighted combined score; returns the top-k hit rows. A ratio > 1
     over-fetches the vector side (``k*ratio`` candidates) and applies
     the final top-k AFTER the hybrid join — reference O3 semantics
-    (``runtime.py:30-33,114-140``)."""
+    (``runtime.py:30-33,114-140``).
+
+    When ``vector_index`` (an ``IvfChunkIndex``) / ``fts_index`` (an
+    ``FtsChunkIndex``) are provided, the corresponding side is served
+    from the PROVISIONED index — only the probed IVF cells / posting
+    buckets are read, reference serving behavior (``runtime.py:30-38``)
+    — and the ``embeddings`` / ``chunks`` datasets may be None. Without
+    an index the brute-force scan fallbacks run."""
     validate_top_k(k, effective_search_ratio)
     q = HashEmbedder(dim=embed_dim, seed=embed_seed)._embed_one(query_text)
-    v = vector_topk(embeddings, q, k=k, effective_search_ratio=effective_search_ratio)
-    f = fulltext_topk(chunks, query_text, k=k)
+    fetch = int(np.ceil(k * effective_search_ratio))
+    if vector_index is not None:
+        v = vector_index.search(q, k=fetch)
+        v = _ensure_cols(v, "chunk_uid", "score_vector")
+    else:
+        v = vector_topk(embeddings, q, k=k, effective_search_ratio=effective_search_ratio)
+    if fts_index is not None:
+        f = _ensure_cols(fts_index.search(query_text, k=k), "chunk_uid", "score_fulltext")
+    else:
+        f = fulltext_topk(chunks, query_text, k=k)
     v["score_vector"] = _max_normalize(v["score_vector"]) if len(v) else v.get("score_vector")
     f["score_fulltext"] = _max_normalize(f["score_fulltext"]) if len(f) else f.get("score_fulltext")
     merged = pd.merge(v, f, on="chunk_uid", how="outer").fillna(0.0)

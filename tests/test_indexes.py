@@ -108,3 +108,110 @@ class TestLanceGate:
             pytest.skip("Lance installed — gate not applicable")
         with pytest.raises(RuntimeError, match="Lance"):
             LanceIndexBackend(str(tmp_path))
+
+
+class TestIvfChunkIndex:
+    @pytest.fixture()
+    def emb_ds(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        rng = np.random.default_rng(11)
+        n, dim = 400, 16
+        base = rng.standard_normal((n, dim))
+        # planted cluster: 10 vectors near a fixed direction
+        q = rng.standard_normal(dim)
+        for i in range(10):
+            base[i] = q + 0.01 * rng.standard_normal(dim)
+        tbl = pa.table(
+            {
+                "chunk_uid": [f"c{i:04d}" for i in range(n)],
+                "embedding": pa.array([list(map(float, r)) for r in base], pa.list_(pa.float32())),
+            }
+        )
+        return rd.from_arrow(tbl), q, n
+
+    def test_pruned_search_reads_only_probed_cells(self, emb_ds, ray_session, tmp_path):
+        from fancyrag_ray.sources.indexes import IvfChunkIndex
+
+        ds, q, n = emb_ds
+        idx = IvfChunkIndex.build(ds, str(tmp_path / "ivf"), n_cells=8)
+        hits = idx.search(q, k=10, nprobe=2)
+        assert idx.last_stats["cells_probed"] <= 2
+        assert idx.last_stats["rows_scanned"] < n  # pruning is IO-real
+        # the planted cluster shares the query's cell → full recall
+        assert set(hits["chunk_uid"]) == {f"c{i:04d}" for i in range(10)}
+
+    def test_exhaustive_probe_matches_brute_force(self, emb_ds, ray_session, tmp_path):
+        from fancyrag_ray.pipelines.retrieval import vector_topk
+        from fancyrag_ray.sources.indexes import IvfChunkIndex
+
+        ds, q, n = emb_ds
+        idx = IvfChunkIndex.build(ds, str(tmp_path / "ivf"), n_cells=8)
+        got = idx.search(q, k=7, nprobe=8)
+        want = vector_topk(ds, q, k=7)
+        assert got["chunk_uid"].tolist() == want["chunk_uid"].tolist()
+
+    def test_load_roundtrip(self, emb_ds, ray_session, tmp_path):
+        import numpy as np
+
+        from fancyrag_ray.sources.indexes import IvfChunkIndex
+
+        ds, q, n = emb_ds
+        built = IvfChunkIndex.build(ds, str(tmp_path / "ivf"), n_cells=4)
+        loaded = IvfChunkIndex.load(str(tmp_path / "ivf"))
+        assert np.allclose(built.centroids, loaded.centroids)
+        a = built.search(q, k=5, nprobe=4)
+        b = loaded.search(q, k=5, nprobe=4)
+        assert a["chunk_uid"].tolist() == b["chunk_uid"].tolist()
+
+
+class TestFtsChunkIndex:
+    def test_index_matches_brute_force(self, small_corpus, ray_session, tmp_path):
+        import ray.data as rd
+
+        from fancyrag_ray.config import PipelineConfig
+        from fancyrag_ray.pipelines.kg_build import build_chunks
+        from fancyrag_ray.pipelines.retrieval import fulltext_topk
+        from fancyrag_ray.sources.indexes import FtsChunkIndex
+
+        corpus, _ = small_corpus
+        chunks = build_chunks(rd.from_arrow(corpus.documents), PipelineConfig()).materialize()
+        idx = FtsChunkIndex.build(chunks, str(tmp_path / "fts"), n_buckets=8)
+        query = "launched product"
+        got = idx.search(query, k=5)
+        want = fulltext_topk(chunks, query, k=5)
+        assert got["chunk_uid"].tolist() == want["chunk_uid"].tolist()
+        assert got["score_fulltext"].tolist() == want["score_fulltext"].tolist()
+        # posting-bucket pruning is IO-real
+        total = sum(1 for _ in range(idx.n_buckets))
+        assert idx.last_stats["buckets_read"] <= 2 < total
+
+    def test_hybrid_served_from_indexes_matches_brute(self, small_corpus, ray_session, tmp_path):
+        import ray.data as rd
+
+        from fancyrag_ray.config import PipelineConfig
+        from fancyrag_ray.pipelines.kg_build import build_chunks, build_embeddings, run_kg_build
+        from fancyrag_ray.pipelines.retrieval import hybrid_search
+        from fancyrag_ray.sources.indexes import FtsChunkIndex, IvfChunkIndex
+
+        corpus, _ = small_corpus
+        cfg = PipelineConfig(embed_dim=64)
+        chunks = build_chunks(rd.from_arrow(corpus.documents), cfg).materialize()
+        emb = build_embeddings(chunks, cfg).materialize()
+        vec_idx = IvfChunkIndex.build(emb, str(tmp_path / "ivf"), n_cells=4)
+        fts_idx = FtsChunkIndex.build(chunks, str(tmp_path / "fts"), n_buckets=8)
+        query = "launched product on"
+        brute = hybrid_search(chunks, emb, query, k=5, embed_dim=64)
+        served = hybrid_search(
+            None, None, query, k=5, embed_dim=64,
+            vector_index=vec_idx, fts_index=fts_idx,
+        )
+        # exhaustive nprobe default may differ; compare with all cells probed
+        pd_sort = lambda df: df.sort_values("chunk_uid").reset_index(drop=True)
+        import pandas as pd
+
+        # vector side: nprobe=4 == all cells ⇒ identical candidate pool
+        assert served["chunk_uid"].tolist() == brute["chunk_uid"].tolist()
+        pd.testing.assert_series_equal(served["score"], brute["score"], atol=1e-9)
