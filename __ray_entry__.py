@@ -170,15 +170,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
 
     def kg_flagship_edges(sf_dir: str):
+        """Full flagship DAG (chunk → extract → link → edge MERGE
+        reduce) on driver documents — oracle-checked end-to-end against
+        ``KG_FLAGSHIP_EDGES_SQL``. Uses the ``text-exact`` profile so
+        the chunk split is SQL-reproducible (same contract as the
+        ``chunk_documents`` oracle)."""
         import ray.data as rd
 
-        from fancyrag_ray.config import PipelineConfig
+        from fancyrag_ray.config import PROFILES, PipelineConfig
         from fancyrag_ray.pipelines.kg_build import run_kg_build
         from fancyrag_ray.sources.io import interleave_documents
 
         docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         inter = docs.map_batches(interleave_documents, batch_format="pyarrow")
-        return run_kg_build(inter, alias_table=None, emit_cooccurrence=True).edges
+        cfg = PipelineConfig(profile=PROFILES["text-exact"])
+        return run_kg_build(inter, alias_table=None, cfg=cfg, emit_cooccurrence=True).edges
 
     return {
         # relational / aggregation / join / sort / window (SURVEY §2.4-2.6)
@@ -248,4 +254,6 @@ def oracle_sql() -> dict[str, str]:
         "doc_rollup": T.DOC_ROLLUP_SQL,
         "sample_documents_hash": T.SAMPLE_DOCUMENTS_HASH_SQL,
         "knn_cosine": S.KNN_COSINE_SQL,
+        # end-to-end flagship: chunk→extract→link→edge-reduce vs SQL
+        "kg_flagship_edges": T.KG_FLAGSHIP_EDGES_SQL,
     }

@@ -194,6 +194,46 @@ GROUP BY a.term, b.term
 """
 
 
+def _flagship_edges_sql() -> str:
+    """SQL mirror of the FULL flagship pipeline on driver documents with
+    the ``text-exact`` profile: chunk (600/100 exact split, the
+    ``chunk_documents`` oracle shape) → per-CHUNK vocab-term presence →
+    unordered term pairs per chunk (the extractor's CO_OCCURS triples)
+    → linker synth ids (``'x-' + sha256(label \\x00 norm)[:16]``,
+    ``stages/linker.py:37-38``) → edge MERGE reduce keyed
+    (src_id, type, dst_id) with n_mentions count and first/last doc.
+    ``first_doc``/``last_doc`` are min/max over doc_id AS STRING — the
+    triples table carries doc_id as a string column, so "100" < "98"."""
+    vocab = TermMentionExtractor.DEFAULT_VOCAB
+    presence = " UNION ALL ".join(
+        f"SELECT doc_id, seq, '{t}' AS term FROM chunks "
+        f"WHERE LEN(regexp_extract_all(text, '\\b{t}\\b')) > 0"
+        for t in vocab
+    )
+    return f"""
+WITH n AS (
+  SELECT doc_id, text,
+         CAST(CEIL(GREATEST(1, LENGTH(text) - 100) / 500.0) AS INTEGER) AS n_chunks
+  FROM documents
+), e AS (
+  SELECT doc_id, text, UNNEST(generate_series(0, n_chunks - 1)) AS i FROM n
+), chunks AS (
+  SELECT doc_id, CAST(i + 1 AS INTEGER) AS seq, SUBSTR(text, i * 500 + 1, 600) AS text FROM e
+), mentions AS ({presence})
+SELECT 'x-' || SUBSTR(SHA256('Term' || CHR(0) || a.term), 1, 16) AS src_id,
+       'CO_OCCURS' AS type,
+       'x-' || SUBSTR(SHA256('Term' || CHR(0) || b.term), 1, 16) AS dst_id,
+       COUNT(*) AS n_mentions,
+       MIN(CAST(a.doc_id AS VARCHAR)) AS first_doc,
+       MAX(CAST(a.doc_id AS VARCHAR)) AS last_doc
+FROM mentions a JOIN mentions b ON a.doc_id = b.doc_id AND a.seq = b.seq AND a.term < b.term
+GROUP BY a.term, b.term
+"""
+
+
+KG_FLAGSHIP_EDGES_SQL = _flagship_edges_sql()
+
+
 def dedup_exact(sf_dir: str) -> rd.Dataset:
     """Exact dedup (hash-partition by content, keep min doc_id per group)
     — the D3/D4 MERGE-upsert reduction over raw text."""
