@@ -138,3 +138,25 @@ class ScriptedTransportFactory:
         return ScriptedFailureTransport(
             DeterministicLlmTransport(emit_cooccurrence=self.emit_cooccurrence), self.scripts
         )
+
+
+class LatencyTransport:
+    """Wrap an inner transport with a fixed per-call sleep — models the
+    network round-trip the sandbox lacks, so tests can assert the
+    in-actor concurrency actually overlaps calls (reference overlaps
+    4-5 in-flight calls per document, ``pipeline.py:703-736``)."""
+
+    def __init__(self, inner, delay_s: float = 0.05):
+        import time as _time
+
+        self.inner = inner
+        self.delay_s = delay_s
+        self._sleep = _time.sleep
+
+    def __call__(self, model: str, payload: dict) -> dict:
+        self._sleep(self.delay_s)
+        return self.inner(model, payload)
+
+
+def make_latency_transport(delay_s: float = 0.05, emit_cooccurrence: bool = False):
+    return LatencyTransport(DeterministicLlmTransport(emit_cooccurrence=emit_cooccurrence), delay_s)

@@ -19,6 +19,7 @@ with the client built once per actor.
 
 from __future__ import annotations
 
+import threading
 import time
 from dataclasses import dataclass, field
 from email.utils import parsedate_to_datetime
@@ -105,6 +106,12 @@ class SharedModelClient:
         self.metrics = ClientMetrics()
         self._sleep = sleep
         self._active_model = model
+        # One client is shared by the actor's in-flight threads (the
+        # reference overlaps 4-5 calls per document under an asyncio
+        # semaphore, pipeline.py:703-736). Only the counter mutations
+        # are locked — transport calls run outside the lock, which is
+        # the entire point of the concurrency.
+        self._lock = threading.Lock()
 
     def call(self, payload):
         policy = self.policy
@@ -113,22 +120,32 @@ class SharedModelClient:
             t0 = time.perf_counter()
             try:
                 result = self.transport(self._active_model, payload)
-                self.metrics.calls += 1
-                self.metrics.latency_ms_total += (time.perf_counter() - t0) * 1000
+                with self._lock:
+                    self.metrics.calls += 1
+                    self.metrics.latency_ms_total += (time.perf_counter() - t0) * 1000
                 return result
             except TransportError as exc:
-                self.metrics.calls += 1
-                self.metrics.latency_ms_total += (time.perf_counter() - t0) * 1000
                 last_exc = exc
+                with self._lock:
+                    self.metrics.calls += 1
+                    self.metrics.latency_ms_total += (time.perf_counter() - t0) * 1000
+                    if exc.status in policy.retryable_statuses:
+                        # rate limit → deterministic fallback model
+                        # (reference openai_client.py:178-198), then
+                        # keep retrying
+                        if (
+                            exc.status == 429
+                            and self.fallback_model
+                            and self._active_model != self.fallback_model
+                        ):
+                            self._active_model = self.fallback_model
+                            self.metrics.fallbacks += 1
                 if exc.status not in policy.retryable_statuses:
                     break
-                # rate limit → deterministic fallback model (reference
-                # openai_client.py:178-198), then keep retrying
-                if exc.status == 429 and self.fallback_model and self._active_model != self.fallback_model:
-                    self._active_model = self.fallback_model
-                    self.metrics.fallbacks += 1
                 if attempt + 1 < policy.max_attempts:
-                    self.metrics.retries += 1
+                    with self._lock:
+                        self.metrics.retries += 1
                     self._sleep(policy.backoff(attempt, parse_retry_after(exc.retry_after)))
-        self.metrics.failures += 1
+        with self._lock:
+            self.metrics.failures += 1
         raise last_exc if last_exc else RuntimeError("model call failed")

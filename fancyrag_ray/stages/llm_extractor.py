@@ -333,11 +333,17 @@ class LlmExtractor:
         response_format: str = "json_schema",
         metrics_handle=None,
         sleep=None,
+        max_concurrency: int = 4,
     ):
         kwargs = {"sleep": sleep} if sleep is not None else {}
         self.client = SharedModelClient(
             transport_factory(), model, fallback_model=fallback_model, policy=policy, **kwargs
         )
+        # in-actor overlap of model calls (reference: 4-5 in-flight per
+        # document under asyncio.Semaphore, pipeline.py:703-736 /
+        # kg_ingest.yaml:59). With a real network transport a serial
+        # actor wastes its whole pool on round-trip latency.
+        self.max_concurrency = max(1, int(max_concurrency))
         self.schema = schema
         self.json_schema = build_graph_json_schema()
         self.response_format = response_format
@@ -417,24 +423,42 @@ class LlmExtractor:
 
     # -- per-batch ---------------------------------------------------------
 
+    def _extract_one(self, doc_id, uid, seq, text) -> tuple[list[tuple], bool]:
+        """(rows, failed) for one chunk — thread-safe: the shared client
+        locks its counters; ``_schema_format_ok`` is a benign
+        monotonic-downgrade flag (a race costs at most one extra
+        json_object retry)."""
+        try:
+            raw = self._call_model(text or "", str(doc_id), int(seq))
+            graph = self._parse_graph(raw)
+            return self._rows_from_graph(graph, str(doc_id), uid, int(seq)), False
+        except Exception as exc:  # exhausted retries / bad JSON / schema violation
+            return (
+                [(str(doc_id), uid, int(seq), str(doc_id), "Document", FAILED_PRED, "", "",
+                  json.dumps({"error": f"{type(exc).__name__}: {str(exc)[:200]}"}))],
+                True,
+            )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
         uids = batch.column("chunk_uid").to_pylist()
         seqs = batch.column("seq").to_pylist()
         texts = batch.column("text").to_pylist()
+        items = list(zip(doc_ids, uids, seqs, texts))
+        if self.max_concurrency > 1 and len(items) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            # executor.map preserves input order ⇒ identical row order
+            # to the serial path
+            with ThreadPoolExecutor(max_workers=self.max_concurrency) as ex:
+                results = list(ex.map(lambda it: self._extract_one(*it), items))
+        else:
+            results = [self._extract_one(*it) for it in items]
         rows: list[tuple] = []
         n_failures = 0
-        for doc_id, uid, seq, text in zip(doc_ids, uids, seqs, texts):
-            try:
-                raw = self._call_model(text or "", str(doc_id), int(seq))
-                graph = self._parse_graph(raw)
-                rows.extend(self._rows_from_graph(graph, str(doc_id), uid, int(seq)))
-            except Exception as exc:  # exhausted retries / bad JSON / schema violation
-                n_failures += 1
-                rows.append(
-                    (str(doc_id), uid, int(seq), str(doc_id), "Document", FAILED_PRED, "", "",
-                     json.dumps({"error": f"{type(exc).__name__}: {str(exc)[:200]}"}))
-                )
+        for chunk_rows, failed in results:
+            rows.extend(chunk_rows)
+            n_failures += int(failed)
         self._report_metrics()
         cols = list(zip(*rows)) if rows else [[] for _ in TRIPLE_SCHEMA]
         tbl = pa.table(
@@ -456,6 +480,7 @@ def build_triples_llm(
     concurrency: int = 8,
     metrics_actor: str | None = METRICS_ACTOR_NAME,
     sleep=None,
+    max_concurrency: int = 4,
 ):
     """Wire the LLM extractor as the A3 stage: actor pool (client built
     once per actor), autoscaling floor of half the pool so short phases
@@ -481,6 +506,7 @@ def build_triples_llm(
             "policy": policy,
             "metrics_handle": handle,
             "sleep": sleep,
+            "max_concurrency": max_concurrency,
         },
         batch_format="pyarrow",
         batch_size=batch_size,

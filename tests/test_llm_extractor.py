@@ -218,3 +218,61 @@ class TestLlmExtractorE2E:
         # downgrade is remembered for subsequent chunks
         ex(batch)
         assert seen_formats[2] == "json_object"
+
+
+class TestIntraActorConcurrency:
+    """VERDICT r2 #8: the reference overlaps 4-5 in-flight model calls
+    per document (asyncio semaphore); a serial actor would waste its
+    pool on round-trip latency once a real transport is plugged in."""
+
+    def _batch(self, chunks, n=32):
+        import pyarrow as pa
+
+        tbl = pa.concat_tables(list(chunks.limit(n).iter_batches(batch_format="pyarrow")))
+        return tbl.select(["doc_id", "chunk_uid", "seq", "text"])
+
+    def test_concurrency_speedup_identical_rows(self, chunks):
+        import time
+
+        from fancyrag_ray.stages.fake_llm import make_latency_transport
+        from fancyrag_ray.stages.llm_extractor import LlmExtractor
+
+        batch = self._batch(chunks, 32)
+        delay = 0.05
+
+        def run(max_conc):
+            ex = LlmExtractor(
+                transport_factory=lambda: make_latency_transport(delay),
+                model="model-a",
+                max_concurrency=max_conc,
+            )
+            t0 = time.time()
+            out = ex(batch)
+            return out, time.time() - t0
+
+        serial, t_serial = run(1)
+        conc, t_conc = run(4)
+        assert serial.to_pydict() == conc.to_pydict()  # identical rows, same order
+        speedup = t_serial / t_conc
+        assert speedup >= 3.0, f"speedup {speedup:.2f} < 3x at concurrency 4"
+
+    def test_failure_rows_preserved_under_concurrency(self, chunks):
+        from fancyrag_ray.stages.fake_llm import ScriptedTransportFactory
+        from fancyrag_ray.stages.llm_extractor import LlmExtractor
+        from fancyrag_ray.stages.llm_client import RetryPolicy
+
+        batch = self._batch(chunks, 16)
+        # every chunk whose text contains the marker fails permanently
+        marker = batch.column("text").to_pylist()[3][:20]
+        factory = ScriptedTransportFactory({marker: ["boom"] * 99})
+        for conc in (1, 4):
+            ex = LlmExtractor(
+                transport_factory=factory,
+                model="model-a",
+                policy=RetryPolicy(max_attempts=2, base_backoff_s=0.0),
+                sleep=lambda s: None,
+                max_concurrency=conc,
+            )
+            out = ex(batch)
+            meta = out.schema.metadata or {}
+            assert int(meta.get(b"n_failures", b"0")) >= 1
