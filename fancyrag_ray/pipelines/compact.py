@@ -117,3 +117,152 @@ def compact_into_store(
         json.dump(meta, f, sort_keys=True)
     os.replace(meta_tmp, os.path.join(store_dir, "store_meta.json"))
     return meta
+
+
+# ---------------------------------------------------------------------------
+# O(delta) incremental compaction (VERDICT r2 #10).
+#
+# ``compact_into_store`` re-reduces the FULL store every ingest — the
+# union grows monotonically, so at 100 TB the Nth ingest pays for all
+# N-1 before it. The bucketed store hash-partitions both tables by
+# their MERGE key (``bucket = crc32(key) % n_buckets``, a stable
+# function of the key — NOT of the data distribution), so an ingest
+# only has to re-reduce the buckets its delta actually touches;
+# untouched buckets are carried into the new store version as hardlinks
+# (metadata-only). Crash-safety is unchanged: the new version is staged
+# completely, then swapped with the same rename dance as the full path.
+# ---------------------------------------------------------------------------
+
+import zlib as _zlib
+
+
+def _bucket_column(t: pa.Table, key_cols: list[str], n_buckets: int) -> pa.Table:
+    import pyarrow.compute as _pc
+
+    # idempotent: re-reading hive-partitioned part files can re-infer a
+    # `bucket` column from the path on SOME blocks — always recompute
+    # from the key so every block carries exactly one, consistently typed
+    if "bucket" in t.schema.names:
+        t = t.drop_columns(["bucket"])
+    joined = _pc.binary_join_element_wise(
+        *[t.column(c).cast(pa.string()) for c in key_cols], "\x1f"
+    )
+    buckets = [(_zlib.crc32(v.encode()) % n_buckets) for v in joined.to_pylist()]
+    return t.append_column("bucket", pa.array(buckets, pa.int32()))
+
+
+_NODE_KEYS = ["entity_id", "label", "name"]
+_EDGE_KEYS = ["src_id", "type", "dst_id"]
+
+
+def _merge_nodes_b(batch: pa.Table) -> pa.Table:
+    g = batch.group_by(["bucket"] + _NODE_KEYS).aggregate([("mentions", "sum")])
+    return g.rename_columns(["bucket"] + _NODE_KEYS + ["mentions"])
+
+
+def _merge_edges_b(batch: pa.Table) -> pa.Table:
+    g = batch.group_by(["bucket"] + _EDGE_KEYS).aggregate(
+        [("n_mentions", "sum"), ("first_doc", "min"), ("last_doc", "max")]
+    )
+    return g.rename_columns(["bucket"] + _EDGE_KEYS + ["n_mentions", "first_doc", "last_doc"])
+
+
+def _hardlink_tree(src: str, dst: str) -> None:
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        out = os.path.join(dst, rel) if rel != "." else dst
+        os.makedirs(out, exist_ok=True)
+        for f in files:
+            os.link(os.path.join(root, f), os.path.join(out, f))
+
+
+def _compact_table_incremental(
+    ds_new: rd.Dataset,
+    table_dir: str,
+    key_cols: list[str],
+    merge_fn,
+    n_buckets: int,
+) -> dict:
+    """Stage ``{table_dir}.next``: merged touched buckets + hardlinked
+    untouched buckets. Returns {"touched": n, "untouched": n}."""
+    new_b = ds_new.map_batches(
+        lambda t: _bucket_column(t, key_cols, n_buckets), batch_format="pyarrow"
+    ).materialize()
+    touched = sorted(int(b) for b in new_b.unique("bucket"))
+    next_dir = table_dir + ".next"
+    shutil.rmtree(next_dir, ignore_errors=True)
+    os.makedirs(next_dir, exist_ok=True)
+
+    existing = set()
+    if os.path.isdir(table_dir):
+        existing = {d for d in os.listdir(table_dir) if d.startswith("bucket=")}
+    touched_names = {f"bucket={b}" for b in touched}
+    # untouched buckets: hardlink into the next version (O(#files) metadata)
+    for name in sorted(existing - touched_names):
+        _hardlink_tree(os.path.join(table_dir, name), os.path.join(next_dir, name))
+
+    # touched buckets: union old rows (re-derive bucket from the key —
+    # hive writes strip the partition column) with the delta, reduce once
+    import glob as _glob
+
+    old_files: list[str] = []
+    for name in sorted(existing & touched_names):
+        old_files.extend(sorted(_glob.glob(os.path.join(table_dir, name, "*.parquet"))))
+    merged_src = new_b
+    if old_files:
+        old_ds = read_table(old_files).map_batches(
+            lambda t: _bucket_column(t, key_cols, n_buckets), batch_format="pyarrow"
+        )
+        merged_src = new_b.union(old_ds)
+    merged = tree_aggregate(merged_src, merge_fn)
+    write_table(merged, next_dir, partition_cols=["bucket"])
+    return {"touched": len(touched), "untouched": len(existing - touched_names)}
+
+
+def compact_incremental(
+    nodes_new: rd.Dataset,
+    edges_new: rd.Dataset,
+    store_dir: str,
+    n_buckets: int = 64,
+) -> dict:
+    """MERGE a new run into a BUCKETED store, re-reducing only the key
+    buckets the delta touches. Same associative merge as
+    :func:`compact_into_store` ⇒ N incremental ingests produce exactly
+    the store one combined ingest would (asserted in tests); the swap is
+    the same versioned atomic rename."""
+    os.makedirs(store_dir, exist_ok=True)
+    meta = _store_meta(store_dir)
+    if meta["ingests"] > 0 and meta.get("n_buckets") not in (None, n_buckets):
+        raise ValueError(
+            f"store was bucketed with n_buckets={meta.get('n_buckets')}; "
+            f"got {n_buckets} — bucket count is part of the store layout"
+        )
+    nodes_dir = os.path.join(store_dir, "nodes")
+    edges_dir = os.path.join(store_dir, "edges")
+    stats_n = _compact_table_incremental(nodes_new, nodes_dir, _NODE_KEYS, _merge_nodes_b, n_buckets)
+    stats_e = _compact_table_incremental(edges_new, edges_dir, _EDGE_KEYS, _merge_edges_b, n_buckets)
+
+    for final in (nodes_dir, edges_dir):
+        nxt, old = final + ".next", final + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(final):
+            os.rename(final, old)
+        os.rename(nxt, final)
+        shutil.rmtree(old, ignore_errors=True)
+
+    meta = {
+        "version": meta["version"] + 1,
+        "ingests": meta["ingests"] + 1,
+        "n_buckets": n_buckets,
+        "layout": "bucketed",
+    }
+    meta_tmp = os.path.join(store_dir, ".store_meta.tmp")
+    with open(meta_tmp, "w") as f:
+        json.dump(meta, f, sort_keys=True)
+    os.replace(meta_tmp, os.path.join(store_dir, "store_meta.json"))
+    return {**meta, "nodes": stats_n, "edges": stats_e}
+
+
+def read_store_table(store_dir: str, table: str) -> rd.Dataset:
+    """Read a store table regardless of layout (flat or bucketed)."""
+    return read_table(os.path.join(store_dir, table))

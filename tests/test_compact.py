@@ -131,3 +131,99 @@ class TestDiscovery:
 
         with pytest.raises(FileNotFoundError, match="no input partitions"):
             discover_partitions(str(tmp_path))
+
+
+class TestIncrementalCompaction:
+    """O(delta) bucketed compaction: same associative merge, but an
+    ingest re-reduces only the buckets its delta touches."""
+
+    @staticmethod
+    def _logical(df, keys):
+        drop = [c for c in df.columns if c == "bucket"]
+        return (
+            df.drop(columns=drop)
+            .sort_values(keys)
+            .reset_index(drop=True)
+            .reindex(sorted(df.drop(columns=drop).columns), axis=1)
+        )
+
+    def test_incremental_equals_full_reduce(self, ray_session, tmp_path):
+        from fancyrag_ray.pipelines.compact import compact_incremental
+
+        corpus = generate_corpus(240, seed=19)
+        docs = corpus.documents
+        half = docs.num_rows // 2
+        d1, d2 = docs.slice(0, half), docs.slice(half)
+
+        def build(tbl):
+            r = run_kg_build(rd.from_arrow(tbl), alias_table=corpus.aliases, cfg=PipelineConfig())
+            return r.nodes.materialize(), r.edges.materialize()
+
+        inc_store = str(tmp_path / "inc")
+        n1, e1 = build(d1)
+        m1 = compact_incremental(n1, e1, inc_store, n_buckets=16)
+        n2, e2 = build(d2)
+        m2 = compact_incremental(n2, e2, inc_store, n_buckets=16)
+        assert m1["version"] == 1 and m2["version"] == 2
+
+        full_store = str(tmp_path / "full")
+        na, ea = build(docs)
+        compact_into_store(na, ea, full_store)
+
+        for table, keys in (("nodes", ["entity_id", "label", "name"]),
+                            ("edges", ["src_id", "type", "dst_id"])):
+            inc = self._logical(read_table(f"{inc_store}/{table}").to_pandas(), keys)
+            full = self._logical(read_table(f"{full_store}/{table}").to_pandas(), keys)
+            pd.testing.assert_frame_equal(inc, full, check_dtype=False)
+
+    def test_untouched_buckets_are_not_rewritten(self, ray_session, tmp_path):
+        import glob
+        import os
+
+        import pyarrow as pa
+
+        from fancyrag_ray.pipelines.compact import compact_incremental
+
+        def mk(entities):
+            nodes = rd.from_arrow(pa.table({
+                "entity_id": entities, "label": ["T"] * len(entities),
+                "name": entities, "mentions": [1] * len(entities),
+            }))
+            edges = rd.from_arrow(pa.table({
+                "src_id": entities, "type": ["R"] * len(entities), "dst_id": entities,
+                "n_mentions": [1] * len(entities),
+                "first_doc": ["d1"] * len(entities), "last_doc": ["d1"] * len(entities),
+            }))
+            return nodes, edges
+
+        store = str(tmp_path / "store")
+        n1, e1 = mk([f"e{i}" for i in range(200)])  # spread over many buckets
+        compact_incremental(n1, e1, store, n_buckets=16)
+        inodes_before = {
+            f: os.stat(f).st_ino for f in glob.glob(f"{store}/nodes/bucket=*/*.parquet")
+        }
+        # second ingest touches exactly one key → ≤1 bucket rewritten
+        n2, e2 = mk(["e0"])
+        stats = compact_incremental(n2, e2, store, n_buckets=16)
+        assert stats["nodes"]["touched"] == 1
+        assert stats["nodes"]["untouched"] >= 10
+        same_inode = 0
+        for f, ino in inodes_before.items():
+            if os.path.exists(f) and os.stat(f).st_ino == ino:
+                same_inode += 1
+        # untouched bucket files survive as hardlinks (same inode)
+        assert same_inode >= len(inodes_before) - 4
+
+    def test_bucket_count_is_pinned(self, ray_session, tmp_path):
+        import pyarrow as pa
+
+        from fancyrag_ray.pipelines.compact import compact_incremental
+
+        nodes = rd.from_arrow(pa.table({"entity_id": ["a"], "label": ["T"],
+                                        "name": ["a"], "mentions": [1]}))
+        edges = rd.from_arrow(pa.table({"src_id": ["a"], "type": ["R"], "dst_id": ["a"],
+                                        "n_mentions": [1], "first_doc": ["d"], "last_doc": ["d"]}))
+        store = str(tmp_path / "store")
+        compact_incremental(nodes, edges, store, n_buckets=8)
+        with pytest.raises(ValueError):
+            compact_incremental(nodes, edges, store, n_buckets=16)
