@@ -159,6 +159,7 @@ def main() -> None:
     # (CPU steal / noisy neighbors); min over reps rejects the spikes
     reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
     headline_sec = None
+    headline_sec_cold = None  # first rep: fresh Ray workers / cold actor state
     for _rep in range(reps):
         t0 = time.perf_counter()
         docs = rd.read_parquet(f"{corpus_dir}/documents")
@@ -187,6 +188,8 @@ def main() -> None:
         th.join()
         emb_rows = emb_result["rows"]
         rep_sec = time.perf_counter() - t0
+        if headline_sec_cold is None:
+            headline_sec_cold = rep_sec
         headline_sec = rep_sec if headline_sec is None else min(headline_sec, rep_sec)
     triples_per_sec = n_triples / headline_sec
 
@@ -282,6 +285,12 @@ def main() -> None:
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "headline_sec": round(headline_sec, 2),
+        # methodology (VERDICT r2 #9): min-of-reps reuses warm Ray
+        # workers + page cache ⇒ warm steady-state; the cold number is
+        # the first rep after ray.init (input page cache pre-warmed,
+        # worker/actor state cold)
+        "headline_sec_cold": round(headline_sec_cold, 2),
+        "headline_methodology": "warm=min over reps; cold=first rep after ray.init",
         "bench_docs": BENCH_DOCS,
         "n_triples": n_triples,
         "n_nodes": n_nodes,

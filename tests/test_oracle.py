@@ -23,7 +23,14 @@ def _to_pandas(res) -> pd.DataFrame:
     import ray.data as rd
 
     if isinstance(res, rd.Dataset):
-        return res.to_pandas()
+        df = res.to_pandas()
+        if df.shape[1] == 0:
+            # Ray's to_pandas drops the schema at 0 rows; restore the
+            # column contract from the dataset's Arrow schema
+            sch = res.schema()
+            if sch is not None and sch.names:
+                df = pd.DataFrame({n: pd.Series(dtype=object) for n in sch.names})
+        return df
     if isinstance(res, pa.Table):
         return res.to_pandas()
     return res
