@@ -97,10 +97,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         deterministic fake transport drives the full actor-pool path
         (prompt → SharedModelClient retry policy → Responses-payload
         parse → fence strip → strict-schema validation → closed-world
-        triples). No SQL oracle: multi-stage, model-backed."""
+        triples). Oracle-checked (round 3): with the exact-boundary
+        chunk profile the whole path is hash-comparable to the SQL
+        per-chunk co-occurrence expansion (``KG_LLM_TRIPLES_SQL``)."""
         import ray.data as rd
 
-        from fancyrag_ray.config import PipelineConfig
+        from fancyrag_ray.config import PROFILES, PipelineConfig
         from fancyrag_ray.pipelines.kg_build import build_chunks
         from fancyrag_ray.sources.io import interleave_documents
         from fancyrag_ray.stages.fake_llm import DeterministicLlmTransport
@@ -108,7 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         inter = docs.map_batches(interleave_documents, batch_format="pyarrow")
-        chunks = build_chunks(inter, PipelineConfig())
+        chunks = build_chunks(inter, PipelineConfig(profile=PROFILES["text-exact"]))
 
         def transport_factory():
             return DeterministicLlmTransport(emit_cooccurrence=True)
@@ -137,6 +139,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         emb = build_embeddings(chunks, cfg).materialize()
         return hybrid_search(chunks, emb, "customer order supplier", k=5,
                              embed_dim=cfg.embed_dim, embed_seed=cfg.embed_seed)
+
+    def knn_cosine_ivf_indexed(sf_dir: str, query_vec_id: int = 0, k: int = 10):
+        """ANN top-k served from the PERSISTED IVF cell store: unlike
+        ``knn_cosine_ivf`` (compute pruning over a full scan), the query
+        reads only its nprobe probed cell partitions from disk — the
+        round-3 IO-pruned serving path. Rows-only check (approximate by
+        design; recall pinned in tests/test_indexes.py)."""
+        import tempfile
+
+        import ray.data as rd
+
+        from fancyrag_ray.sources.indexes import IvfChunkIndex
+
+        emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        with tempfile.TemporaryDirectory(prefix="fancyrag_ivfidx_") as d:
+            idx = IvfChunkIndex.build(emb, f"{d}/ivf", id_col="vec_id", n_cells=16)
+            from fancyrag_ray.functions.similarity import _query_vector
+
+            q = _query_vector(sf_dir, query_vec_id)
+            hits = idx.search(q, k=k + 1, nprobe=4)
+            hits = hits[hits["vec_id"] != query_vec_id].head(k).reset_index(drop=True)
+            return hits[["vec_id"]]
 
     def hybrid_search_chunks_indexed(sf_dir: str):
         """Index-backed serving variant of ``hybrid_search_chunks``: the
@@ -213,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": S.knn_cosine,
         "knn_cosine_lsh": S.knn_cosine_lsh,
         "knn_cosine_ivf": S.knn_cosine_ivf,
+        "knn_cosine_ivf_indexed": knn_cosine_ivf_indexed,
         "embedding_near_duplicates": S.embedding_near_duplicates,
         # near-dup dedup / sketches (no SQL oracle: iterative/approximate)
         "near_dup_minhash": near_dup_minhash,
@@ -256,4 +281,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine": S.KNN_COSINE_SQL,
         # end-to-end flagship: chunk→extract→link→edge-reduce vs SQL
         "kg_flagship_edges": T.KG_FLAGSHIP_EDGES_SQL,
+        # full LLM actor path vs per-chunk pair expansion (deterministic
+        # transport ⇒ exact)
+        "kg_llm_extract_triples": T.KG_LLM_TRIPLES_SQL,
     }

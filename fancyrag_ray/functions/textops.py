@@ -234,6 +234,49 @@ GROUP BY a.term, b.term
 KG_FLAGSHIP_EDGES_SQL = _flagship_edges_sql()
 
 
+def _llm_triples_sql() -> str:
+    """SQL mirror of the LLM-extraction driver query: the deterministic
+    fake transport reproduces the rule extractor exactly (pinned in
+    ``tests/test_llm_extractor.py``), so the full actor path — prompt →
+    SharedModelClient retries → Responses-payload parse → fence strip →
+    strict-schema validation → closed-world triples — is hash-checkable
+    against the per-chunk CO_OCCURS pair expansion. Chunk uids are the
+    deterministic content hashes (M3 contract), reproducible in SQL."""
+    vocab = TermMentionExtractor.DEFAULT_VOCAB
+    presence = " UNION ALL ".join(
+        f"SELECT doc_id, seq, chunk_uid, '{t}' AS term FROM chunks "
+        f"WHERE LEN(regexp_extract_all(text, '\\b{t}\\b')) > 0"
+        for t in vocab
+    )
+    return f"""
+WITH n AS (
+  SELECT doc_id, text,
+         CAST(CEIL(GREATEST(1, LENGTH(text) - 100) / 500.0) AS INTEGER) AS n_chunks
+  FROM documents
+), e AS (
+  SELECT doc_id, text, UNNEST(generate_series(0, n_chunks - 1)) AS i FROM n
+), chunks AS (
+  SELECT doc_id, CAST(i + 1 AS INTEGER) AS seq,
+         SHA256(CAST(doc_id AS VARCHAR) || ':' || CAST(i + 1 AS VARCHAR) || ':' ||
+                SUBSTR(text, i * 500 + 1, 600)) AS chunk_uid,
+         SUBSTR(text, i * 500 + 1, 600) AS text
+  FROM e
+), mentions AS ({presence})
+SELECT CAST(a.doc_id AS VARCHAR) AS doc_id,
+       a.chunk_uid,
+       a.seq AS chunk_seq,
+       a.term AS subj, 'Term' AS subj_label,
+       'CO_OCCURS' AS pred,
+       b.term AS obj, 'Term' AS obj_label,
+       '{{}}' AS props
+FROM mentions a
+JOIN mentions b ON a.doc_id = b.doc_id AND a.seq = b.seq AND a.term < b.term
+"""
+
+
+KG_LLM_TRIPLES_SQL = _llm_triples_sql()
+
+
 def dedup_exact(sf_dir: str) -> rd.Dataset:
     """Exact dedup (hash-partition by content, keep min doc_id per group)
     — the D3/D4 MERGE-upsert reduction over raw text."""

@@ -487,3 +487,19 @@ class TestSimhashMegaBucket:
         out = simhash_duplicates(docs).to_pandas()
         pairs = set(zip(out["doc_a"], out["doc_b"]))
         assert pairs == {("a", "b"), ("a", "c"), ("b", "c")}
+
+
+class TestCcDriverLimit:
+    def test_contract_refuses_over_limit_forest(self, ray_session):
+        """The contraction tier must raise rather than resolve a forest
+        larger than driver_node_limit on the driver (r2 ADVICE: the
+        level loop fell through to a driver union-find regardless)."""
+        from fancyrag_ray.stages.canonicalize import connected_components
+
+        n = 64
+        edges = rd.from_arrow(
+            pa.table({"src": [f"n{i}" for i in range(n)],
+                      "dst": [f"n{(i + 1) % n}" for i in range(n)]})
+        )
+        with pytest.raises(RuntimeError):
+            connected_components(edges, driver_threshold=1, driver_node_limit=2)
