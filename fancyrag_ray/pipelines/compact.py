@@ -182,14 +182,16 @@ def _compact_table_incremental(
     key_cols: list[str],
     merge_fn,
     n_buckets: int,
+    next_dir: str | None = None,
 ) -> dict:
-    """Stage ``{table_dir}.next``: merged touched buckets + hardlinked
-    untouched buckets. Returns {"touched": n, "untouched": n}."""
+    """Stage ``next_dir`` (default ``{table_dir}.next``): merged touched
+    buckets + hardlinked untouched buckets from ``table_dir``. Returns
+    {"touched": n, "untouched": n}."""
     new_b = ds_new.map_batches(
         lambda t: _bucket_column(t, key_cols, n_buckets), batch_format="pyarrow"
     ).materialize()
     touched = sorted(int(b) for b in new_b.unique("bucket"))
-    next_dir = table_dir + ".next"
+    next_dir = next_dir or (table_dir + ".next")
     shutil.rmtree(next_dir, ignore_errors=True)
     os.makedirs(next_dir, exist_ok=True)
 
@@ -266,3 +268,112 @@ def compact_incremental(
 def read_store_table(store_dir: str, table: str) -> rd.Dataset:
     """Read a store table regardless of layout (flat or bucketed)."""
     return read_table(os.path.join(store_dir, table))
+
+
+# ---------------------------------------------------------------------------
+# Transactionally versioned store (CURRENT-pointer semantics).
+#
+# ``compact_incremental`` swaps nodes/ and edges/ with two renames — a
+# crash between them (or between the swap and the meta write) leaves a
+# state a resuming caller cannot classify, so an orchestrator replaying
+# a partition could double-count its mentions. ``IncrementalStore``
+# closes that: every ingest stages a COMPLETE new version directory
+# (untouched buckets hardlinked, touched buckets re-reduced, plus a
+# journal of every ingest key applied so far) and then commits it with
+# ONE atomic os.replace of the CURRENT pointer file. Any crash before
+# the pointer flip leaves CURRENT on the previous version; replaying an
+# already-journaled ingest key is a no-op — which is exactly what the
+# resumable build needs (each partition compacts exactly once).
+# ---------------------------------------------------------------------------
+
+
+class IncrementalStore:
+    def __init__(self, store_dir: str, n_buckets: int = 64):
+        self.root = store_dir
+        os.makedirs(os.path.join(store_dir, "versions"), exist_ok=True)
+        meta = self._current_journal()
+        if meta is not None and meta.get("n_buckets") != n_buckets:
+            raise ValueError(
+                f"store was bucketed with n_buckets={meta.get('n_buckets')}; "
+                f"got {n_buckets} — bucket count is part of the store layout"
+            )
+        self.n_buckets = n_buckets
+
+    # -- pointer / journal --------------------------------------------------
+
+    def _current_name(self) -> str | None:
+        cur = os.path.join(self.root, "CURRENT")
+        if not os.path.exists(cur):
+            return None
+        with open(cur) as f:
+            return f.read().strip() or None
+
+    def current_dir(self) -> str | None:
+        name = self._current_name()
+        return os.path.join(self.root, "versions", name) if name else None
+
+    def _current_journal(self) -> dict | None:
+        d = self.current_dir()
+        if d is None:
+            return None
+        with open(os.path.join(d, "journal.json")) as f:
+            return json.load(f)
+
+    def ingested_keys(self) -> list[str]:
+        meta = self._current_journal()
+        return list(meta["ingests"]) if meta else []
+
+    # -- tables -------------------------------------------------------------
+
+    def table(self, name: str) -> rd.Dataset | None:
+        d = self.current_dir()
+        if d is None:
+            return None
+        return read_table(os.path.join(d, name))
+
+    # -- ingest -------------------------------------------------------------
+
+    def ingest(self, nodes_new: rd.Dataset, edges_new: rd.Dataset, key: str) -> dict:
+        """Apply one run's (already partially-reduced) nodes/edges under
+        an idempotency ``key``. Re-ingesting a journaled key is a no-op."""
+        meta = self._current_journal()
+        if meta and key in meta["ingests"]:
+            return {**meta, "status": "already_ingested"}
+        version = (meta["version"] + 1) if meta else 1
+        cur = self.current_dir()
+        stage = os.path.join(self.root, "versions", f".staging-v{version:05d}")
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage)
+        stats = {}
+        for name, ds_new, keys, merge in (
+            ("nodes", nodes_new, _NODE_KEYS, _merge_nodes_b),
+            ("edges", edges_new, _EDGE_KEYS, _merge_edges_b),
+        ):
+            src = os.path.join(cur, name) if cur else os.path.join(stage, "_absent")
+            stats[name] = _compact_table_incremental(
+                ds_new, src, keys, merge, self.n_buckets,
+                next_dir=os.path.join(stage, name),
+            )
+        journal = {
+            "version": version,
+            "n_buckets": self.n_buckets,
+            "ingests": (meta["ingests"] if meta else []) + [key],
+        }
+        with open(os.path.join(stage, "journal.json"), "w") as f:
+            json.dump(journal, f, sort_keys=True)
+        final = os.path.join(self.root, "versions", f"v{version:05d}")
+        shutil.rmtree(final, ignore_errors=True)  # stale from a crashed attempt
+        os.rename(stage, final)
+        # THE commit point: one atomic pointer flip
+        tmp = os.path.join(self.root, ".CURRENT.tmp")
+        with open(tmp, "w") as f:
+            f.write(f"v{version:05d}")
+        os.replace(tmp, os.path.join(self.root, "CURRENT"))
+        self._gc(keep=f"v{version:05d}")
+        return {**journal, "status": "ingested", "stats": stats}
+
+    def _gc(self, keep: str) -> None:
+        vroot = os.path.join(self.root, "versions")
+        for name in os.listdir(vroot):
+            if name != keep:
+                shutil.rmtree(os.path.join(vroot, name), ignore_errors=True)

@@ -4,6 +4,8 @@ D6 report-dir collision suffix, S4 empty-source guard."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -227,3 +229,108 @@ class TestIncrementalCompaction:
         compact_incremental(nodes, edges, store, n_buckets=8)
         with pytest.raises(ValueError):
             compact_incremental(nodes, edges, store, n_buckets=16)
+
+
+class TestIncrementalBuild:
+    """run_kg_build_incremental: resumable build whose global phase is
+    O(delta) via the transactionally versioned IncrementalStore."""
+
+    @staticmethod
+    def _files(tmp_path, corpus, n_parts=4):
+        import os
+
+        import pyarrow.parquet as pq
+
+        d = tmp_path / "docs"
+        d.mkdir(exist_ok=True)
+        docs = corpus.documents
+        step = (docs.num_rows + n_parts - 1) // n_parts
+        files = []
+        for i in range(n_parts):
+            part = docs.slice(i * step, step)
+            if part.num_rows:
+                f = str(d / f"part-{i:05d}.parquet")
+                pq.write_table(part, f)
+                files.append(f)
+        return files
+
+    @staticmethod
+    def _logical(ds, keys):
+        df = ds.to_pandas()
+        df = df.drop(columns=[c for c in df.columns if c == "bucket"])
+        return (
+            df.sort_values(keys).reset_index(drop=True)
+            .reindex(sorted(df.columns), axis=1)
+        )
+
+    def test_matches_resumable_build(self, ray_session, tmp_path):
+        from fancyrag_ray.pipelines.compact import IncrementalStore
+        from fancyrag_ray.pipelines.kg_build import (
+            run_kg_build_incremental,
+            run_kg_build_resumable,
+        )
+
+        corpus = generate_corpus(200, seed=23)
+        files = self._files(tmp_path, corpus)
+        cfg = PipelineConfig(embed_dim=16)
+
+        inc_out = str(tmp_path / "inc")
+        res = run_kg_build_incremental(files, inc_out, cfg=cfg, alias_table=corpus.aliases,
+                                       n_buckets=8)
+        assert res["status"] == "done" and res["ingested"] == len(files)
+
+        full_out = str(tmp_path / "full")
+        run_kg_build_resumable(files, full_out, cfg=cfg, alias_table=corpus.aliases)
+
+        store = IncrementalStore(os.path.join(inc_out, "store"), n_buckets=8)
+        for table, keys in (("nodes", ["entity_id", "label", "name"]),
+                            ("edges", ["src_id", "type", "dst_id"])):
+            inc = self._logical(store.table(table), keys)
+            full = self._logical(read_table(os.path.join(full_out, table)), keys)
+            pd.testing.assert_frame_equal(inc, full, check_dtype=False)
+
+    def test_crash_resume_and_replay_idempotence(self, ray_session, tmp_path):
+        from fancyrag_ray.pipelines.compact import IncrementalStore
+        from fancyrag_ray.pipelines.kg_build import run_kg_build_incremental
+
+        corpus = generate_corpus(160, seed=29)
+        files = self._files(tmp_path, corpus, n_parts=3)
+        cfg = PipelineConfig(embed_dim=16)
+        out = str(tmp_path / "out")
+
+        aborted = run_kg_build_incremental(files, out, cfg=cfg, alias_table=corpus.aliases,
+                                           fail_after=1, n_buckets=8)
+        assert aborted["status"] == "aborted" and aborted["ingested"] == 1
+        resumed = run_kg_build_incremental(files, out, cfg=cfg, alias_table=corpus.aliases,
+                                           n_buckets=8)
+        assert resumed["status"] == "done" and resumed["ingested"] == 3
+
+        store = IncrementalStore(os.path.join(out, "store"), n_buckets=8)
+        before = self._logical(store.table("nodes"), ["entity_id", "label", "name"])
+        version_before = store.current_dir()
+
+        # full replay: every partition already journaled → all no-ops
+        replay = run_kg_build_incremental(files, out, cfg=cfg, alias_table=corpus.aliases,
+                                          n_buckets=8)
+        assert replay["ingested"] == 3
+        store2 = IncrementalStore(os.path.join(out, "store"), n_buckets=8)
+        assert store2.current_dir() == version_before  # no new version
+        after = self._logical(store2.table("nodes"), ["entity_id", "label", "name"])
+        pd.testing.assert_frame_equal(before, after)
+
+    def test_ingest_key_idempotent(self, ray_session, tmp_path):
+        import pyarrow as pa
+
+        from fancyrag_ray.pipelines.compact import IncrementalStore
+
+        nodes = rd.from_arrow(pa.table({"entity_id": ["a"], "label": ["T"],
+                                        "name": ["a"], "mentions": [2]}))
+        edges = rd.from_arrow(pa.table({"src_id": ["a"], "type": ["R"], "dst_id": ["a"],
+                                        "n_mentions": [1], "first_doc": ["d"],
+                                        "last_doc": ["d"]}))
+        store = IncrementalStore(str(tmp_path / "s"), n_buckets=4)
+        r1 = store.ingest(nodes, edges, key="p1")
+        r2 = store.ingest(nodes, edges, key="p1")  # replay: no-op
+        assert r1["status"] == "ingested" and r2["status"] == "already_ingested"
+        df = store.table("nodes").to_pandas()
+        assert df["mentions"].sum() == 2  # not doubled
