@@ -314,18 +314,43 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
 
 
 class SimHasher:
-    """64-bit SimHash over word tokens (weight = term frequency)."""
+    """64-bit SimHash over word tokens (weight = term frequency).
+
+    Per-actor word→±1-bit-vector cache + one (unique-tokens × 64)
+    matmul per doc: natural text reuses a small vocabulary, so the
+    blake2b + bit-unpack cost is paid once per DISTINCT word per actor
+    instead of once per token occurrence (same fingerprints as the
+    per-token loop — the weight is still the term frequency)."""
 
     BITS = 64
+    _CACHE_CAP = 1_000_000  # ~64 MB of int8 rows; reset beyond (web-scale vocab)
+
+    def __init__(self):
+        self._shifts = np.arange(self.BITS, dtype=np.uint64)
+        self._cache: dict[str, np.ndarray] = {}
+
+    def _bits(self, w: str) -> np.ndarray:
+        v = self._cache.get(w)
+        if v is None:
+            if len(self._cache) >= self._CACHE_CAP:
+                self._cache.clear()
+            h = np.uint64(int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"))
+            bits = (h >> self._shifts) & np.uint64(1)
+            self._cache[w] = v = np.where(bits == 1, 1, -1).astype(np.int8)
+        return v
 
     def fingerprint(self, text: str) -> int:
-        acc = np.zeros(self.BITS, dtype=np.int64)
-        shifts = np.arange(self.BITS, dtype=np.uint64)
-        for w in text.split():
-            h = np.uint64(int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"))
-            bits = (h >> shifts) & np.uint64(1)
-            acc += np.where(bits == 1, 1, -1)
-        return int(((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
+        toks = text.split()
+        if not toks:
+            acc = np.zeros(self.BITS, dtype=np.int64)
+        else:
+            from collections import Counter
+
+            counts = Counter(toks)
+            m = np.stack([self._bits(w) for w in counts]).astype(np.int64)
+            w = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+            acc = (m * w[:, None]).sum(axis=0)
+        return int(((acc > 0).astype(np.uint64) << self._shifts).sum(dtype=np.uint64))
 
 
 _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
