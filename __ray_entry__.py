@@ -60,6 +60,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         return simhash_duplicates(docs)
 
+    def near_dup_ngram_jaccard(sf_dir: str):
+        """EXACT df-capped word-trigram Jaccard pairs via a shingle-hash
+        self equi-join — the deterministic (DuckDB-oracled) member of the
+        near-dup family."""
+        import ray.data as rd
+
+        from fancyrag_ray.functions.dedup import ngram_jaccard_duplicates
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        return ngram_jaccard_duplicates(docs, jaccard_threshold=0.8)
+
     def approx_distinct_customers(sf_dir: str):
         """HLL approximate COUNT(DISTINCT o_custkey) — mergeable-sketch
         metrics (no SQL oracle: approximate by design; accuracy asserted
@@ -242,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # near-dup dedup / sketches (no SQL oracle: iterative/approximate)
         "near_dup_minhash": near_dup_minhash,
         "near_dup_simhash": near_dup_simhash,
+        "near_dup_ngram_jaccard": near_dup_ngram_jaccard,
         "approx_distinct_customers": approx_distinct_customers,
         "approx_top_sources": approx_top_sources,
         # flagship end-to-end on driver data (no SQL oracle: multi-stage)
@@ -253,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from fancyrag_ray.functions import dedup as D
     from fancyrag_ray.functions import relational as R
     from fancyrag_ray.functions import similarity as S
     from fancyrag_ray.functions import textops as T
@@ -284,4 +297,7 @@ def oracle_sql() -> dict[str, str]:
         # full LLM actor path vs per-chunk pair expansion (deterministic
         # transport ⇒ exact)
         "kg_llm_extract_triples": T.KG_LLM_TRIPLES_SQL,
+        # exact df-capped n-gram Jaccard near-dup (the deterministic
+        # dedup-family member; minhash/simhash are probabilistic)
+        "near_dup_ngram_jaccard": D.NGRAM_JACCARD_SQL,
     }

@@ -39,6 +39,40 @@ def dataset_mean_row_bytes(ds: rd.Dataset, n_rows: int) -> float:
     return sz / n_rows
 
 
+def hash_partitioned_combine(ds: rd.Dataset, keys: list[str], combine_fn, num_partitions: int) -> rd.Dataset:
+    """High-cardinality grouped aggregate: hash-repartition by ``keys``
+    (every row of a key lands in exactly one block), then run
+    ``combine_fn`` (a whole-block pyarrow.Table → Table grouped combine)
+    once per block.
+
+    Ray's default groupby().aggregate() is a sort-based shuffle — fine at
+    thousands of groups, but measured ~33 s for a 1.25M-row / 1.13M-group
+    aggregate at sf0.1 where this path takes ~5 s: hashing avoids the
+    global sort entirely and the per-block combine is one vectorized
+    Arrow group_by. Use when groups ≈ rows (pair counting, per-entity
+    rollups); keep the default groupby for low-cardinality keys.
+
+    HASH_SHUFFLE is enabled on THIS dataset's context copy only
+    (``ds.context`` is per-dataset — verified isolated), with aggregator
+    actors clamped to ``num_partitions`` so a small cluster can't be
+    wedged by per-partition actor spawn.
+    """
+    from ray.data.context import ShuffleStrategy
+
+    if num_partitions <= 1:
+        # one partition ⇒ every key co-locates anyway; a plain coalesce
+        # skips the hash-shuffle aggregator-actor spawn (~5 s cold cost
+        # that dwarfs tiny inputs)
+        rep = ds.repartition(1)
+    else:
+        ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        ds.context.max_hash_shuffle_aggregators = num_partitions
+        rep = ds.repartition(num_partitions, keys=keys)
+    # batch_size=None ⇒ combine sees each block whole, so the per-block
+    # group_by is the FINAL combine for every key in that block
+    return rep.map_batches(combine_fn, batch_format="pyarrow", batch_size=None)
+
+
 def adaptive_partitions(requested: int, minimum: int = 2, n_rows: int | None = None) -> int:
     """Clamp a shuffle/join partition count to the cluster's CPU budget
     and (when known) the data size.

@@ -140,6 +140,22 @@ class TestNearDup:
         assert ngram_jaccard("a b c d e", "a b c d e") == 1.0
         assert ngram_jaccard("a b c d e", "x y z w v") == 0.0
 
+    def test_ngram_jaccard_duplicates_planted(self, planted, ray_session):
+        """The distributed join-based pair metric must equal the exact
+        per-pair scalar ngram_jaccard on every reported pair."""
+        from fancyrag_ray.functions.dedup import ngram_jaccard, ngram_jaccard_duplicates
+
+        texts = dict(zip(planted.column("doc_id").to_pylist(), planted.column("text").to_pylist()))
+        out = ngram_jaccard_duplicates(
+            rd.from_arrow(planted), jaccard_threshold=0.7
+        ).to_pandas()
+        pairs = {(r.doc_a, r.doc_b): r.jaccard for r in out.itertuples()}
+        assert ("a", "a2") in pairs and pairs[("a", "a2")] == 1.0
+        assert ("a", "b") in pairs  # 1-of-60-words near-dup survives 0.7
+        assert not any("c" in p for pair in pairs for p in pair)
+        for (da, db), j in pairs.items():
+            assert abs(j - ngram_jaccard(texts[da], texts[db])) < 1e-12
+
 
 class TestConnectedComponents:
     def _edges(self):
@@ -413,6 +429,13 @@ class TestDedupCleanCorpus:
         from fancyrag_ray.functions.dedup import simhash_duplicates
 
         out = simhash_duplicates(clean_docs)
+        assert isinstance(out, rd.Dataset)
+        assert out.count() == 0
+
+    def test_ngram_jaccard_clean_returns_dataset(self, clean_docs, ray_session):
+        from fancyrag_ray.functions.dedup import ngram_jaccard_duplicates
+
+        out = ngram_jaccard_duplicates(clean_docs)
         assert isinstance(out, rd.Dataset)
         assert out.count() == 0
 
