@@ -247,7 +247,7 @@ def main() -> None:
         from fancyrag_ray.functions import relational as R
         from fancyrag_ray.functions import similarity as S
         from fancyrag_ray.functions import textops as T
-        from fancyrag_ray.functions.dedup import minhash_lsh_duplicates
+        from fancyrag_ray.functions.dedup import minhash_lsh_duplicates, ngram_jaccard_duplicates
 
         def timed(fn, reps: int = 2):
             best = None
@@ -273,6 +273,12 @@ def main() -> None:
             "near_dup_minhash": timed(
                 lambda sf: minhash_lsh_duplicates(
                     rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+                )
+            ),
+            "near_dup_ngram_jaccard": timed(
+                lambda sf: ngram_jaccard_duplicates(
+                    rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"]),
+                    jaccard_threshold=0.8,
                 )
             ),
         }
