@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_order_priorities": R.distinct_order_priorities,
         "events_sessions": R.events_sessions,
         "events_sessions_sharded": R.events_sessions_sharded,
+        "events_last_order": R.events_last_order,
         # KG per-document stages (SURVEY §2.1-2.3, §2.7-2.8)
         "chunk_documents": T.chunk_documents,
         "token_stats_by_source": T.token_stats_by_source,
@@ -282,6 +283,8 @@ def oracle_sql() -> dict[str, str]:
         "distinct_order_priorities": R.DISTINCT_ORDER_PRIORITIES_SQL,
         "events_sessions": R.EVENTS_SESSIONS_SQL,
         "events_sessions_sharded": R.EVENTS_SESSIONS_SQL,
+        # distributed as-of join vs DuckDB's native ASOF JOIN
+        "events_last_order": R.EVENTS_LAST_ORDER_SQL,
         "chunk_documents": T.CHUNK_DOCUMENTS_SQL,
         "token_stats_by_source": T.TOKEN_STATS_BY_SOURCE_SQL,
         "token_histogram": T.TOKEN_HISTOGRAM_SQL,

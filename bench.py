@@ -265,6 +265,7 @@ def main() -> None:
             "events_hourly": timed(R.events_hourly),
             "events_sessions": timed(R.events_sessions),
             "events_sessions_sharded": timed(R.events_sessions_sharded),
+            "events_last_order": timed(R.events_last_order),
             "chunk_documents": timed(T.chunk_documents),
             "term_mentions": timed(T.term_mentions),
             "dedup_exact": timed(T.dedup_exact),

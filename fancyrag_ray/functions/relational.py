@@ -533,3 +533,155 @@ def distinct_order_priorities(sf_dir: str) -> rd.Dataset:
 
 
 DISTINCT_ORDER_PRIORITIES_SQL = "SELECT DISTINCT o_orderpriority FROM orders"
+
+
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    by: str,
+    right_on: str | None = None,
+    right_by: str | None = None,
+    direction: str = "backward",
+    how: str = "inner",
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Distributed as-of join: for each left row, the nearest right row
+    at-or-before (``backward``) / at-or-after (``forward``) its ``on``
+    time within the same ``by`` key. An operator Ray Data lacks;
+    composition: tag each side, hash-co-partition the UNION by key (one
+    shuffle moves both sides, so left and right rows of a key are
+    guaranteed into the SAME block), then one vectorized
+    ``pandas.merge_asof`` per block.
+
+    Partitioning assumption (documented per the custom-operator
+    contract): all rows of one ``by`` key fit one block. Near-dup time
+    series with a single hot key need a time-sharded variant (bucket
+    boundaries replicated one row across shards) — same pattern as
+    ``events_sessions_sharded``.
+
+    Determinism: ties on the ``on`` value within a key resolve to the
+    LAST right row in (time, payload-column) sort order; pre-reduce the
+    right side to one row per (key, time) for a fully deterministic
+    payload (the driver query + oracle both do).
+
+    ``how="inner"`` drops unmatched left rows, which keeps every output
+    column's dtype exactly the input dtype (a ``left`` join widens
+    matched-side ints to nullable).
+    """
+    import pandas as pd
+
+    right_on = right_on or on
+    right_by = right_by or by
+    from ..util import hash_partitioned_combine
+
+    lsch, rsch = left.schema(), right.schema()
+    lcols = list(lsch.names)
+    # the right's by key is redundant on matched rows (== left's by);
+    # its on column rides as payload unless the name collides with a
+    # left column (i.e. both sides share the timestamp column name)
+    rcols = [c for c in rsch.names if c != right_by and not (c == right_on and c in lcols)]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"payload column collision: {sorted(overlap)}")
+    rtypes = dict(zip(rsch.names, rsch.types))
+    ltypes = dict(zip(lsch.names, lsch.types))
+    if ltypes[by] != rtypes[right_by] or ltypes[on] != rtypes[right_on]:
+        raise ValueError("by/on dtypes must match across sides")
+
+    def _std_left(t: pa.Table) -> pa.Table:
+        cols = {"__k": t.column(by), "__t": t.column(on), "__side": pa.array([0] * len(t), pa.int8())}
+        for c in lcols:
+            cols[c] = t.column(c)
+        for c in rcols:
+            cols[c] = pa.nulls(len(t), rtypes[c])
+        return pa.table(cols)
+
+    def _std_right(t: pa.Table) -> pa.Table:
+        cols = {"__k": t.column(right_by), "__t": t.column(right_on), "__side": pa.array([1] * len(t), pa.int8())}
+        for c in lcols:
+            cols[c] = pa.nulls(len(t), ltypes[c])
+        for c in rcols:
+            cols[c] = t.column(c)
+        return pa.table(cols)
+
+    tagged = left.map_batches(_std_left, batch_format="pyarrow").union(
+        right.map_batches(_std_right, batch_format="pyarrow")
+    )
+
+    out_schema = pa.schema(
+        [pa.field(c, ltypes[c]) for c in lcols] + [pa.field(c, rtypes[c]) for c in rcols]
+    )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        l = df[df["__side"] == 0]
+        r = df[df["__side"] == 1]
+        if len(l) == 0:
+            return out_schema.empty_table()
+        l = l.sort_values("__t", kind="mergesort")[["__k", "__t", *lcols]]
+        r = r.sort_values(["__t", *rcols], kind="mergesort")[["__k", "__t", *rcols]]
+        merged = pd.merge_asof(
+            l, r, on="__t", by="__k", direction=direction, allow_exact_matches=True
+        )
+        if how == "inner" and rcols:
+            merged = merged[merged[rcols[0]].notna()]
+        arrays = [
+            pa.Array.from_pandas(merged[c], type=out_schema.field(c).type) for c in out_schema.names
+        ]
+        return pa.Table.from_arrays(arrays, schema=out_schema)
+
+    return hash_partitioned_combine(tagged, ["__k"], _merge, num_partitions)
+
+
+def events_last_order(sf_dir: str) -> rd.Dataset:
+    """Driver query for ``asof_join``: each event annotated with the
+    user's most recent order as of the event time (DuckDB ``ASOF JOIN``
+    oracle). The right side is pre-reduced to one row per
+    (custkey, orderdate) with a max-orderkey tiebreak so the matched
+    payload is deterministic on both sides."""
+    from ray.data.aggregate import Max
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"])
+
+    def _pre(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_custkey", "o_orderdate"]).aggregate([("o_orderkey", "max")])
+        return g.rename_columns(["o_custkey", "o_orderdate", "o_orderkey"])
+
+    def _recast(t: pa.Table) -> pa.Table:
+        # the sort-shuffle groupby narrows date-aligned timestamps to
+        # timestamp[s]; asof_join requires identical on-dtypes
+        return t.set_column(
+            t.schema.get_field_index("o_orderdate"),
+            "o_orderdate",
+            t.column("o_orderdate").cast(pa.timestamp("us")),
+        )
+
+    reduced = (
+        orders.map_batches(_pre, batch_format="pyarrow")
+        .groupby(["o_custkey", "o_orderdate"])
+        .aggregate(Max("o_orderkey", alias_name="o_orderkey"))
+        .map_batches(_recast, batch_format="pyarrow")
+        .materialize()  # consumed twice: asof_join's schema probe + the shuffle
+    )
+    n_events = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    return asof_join(
+        events,
+        reduced,
+        on="ts",
+        by="user_id",
+        right_on="o_orderdate",
+        right_by="o_custkey",
+        num_partitions=adaptive_partitions(16, n_rows=n_events),
+    )
+
+
+EVENTS_LAST_ORDER_SQL = """
+WITH r AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts, r.o_orderkey, r.o_orderdate
+FROM events e ASOF JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+"""

@@ -157,6 +157,77 @@ class TestNearDup:
             assert abs(j - ngram_jaccard(texts[da], texts[db])) < 1e-12
 
 
+class TestAsofJoin:
+    def _sides(self):
+        left = rd.from_arrow(
+            pa.table(
+                {
+                    "lid": [1, 2, 3, 4],
+                    "k": [10, 10, 10, 20],
+                    "t": pa.array([100, 205, 50, 100], pa.int64()),
+                }
+            )
+        )
+        right = rd.from_arrow(
+            pa.table(
+                {
+                    "k2": [10, 10, 20],
+                    "t2": pa.array([100, 200, 300], pa.int64()),
+                    "payload": ["a", "b", "c"],
+                }
+            )
+        )
+        return left, right
+
+    def test_backward_inner(self, ray_session):
+        from fancyrag_ray.functions.relational import asof_join
+
+        left, right = self._sides()
+        out = asof_join(
+            left, right, on="t", by="k", right_on="t2", right_by="k2", num_partitions=2
+        ).to_pandas().set_index("lid")
+        # t=100 matches t2=100 exactly (inclusive); t=205 → t2=200;
+        # t=50 has no prior row and is dropped (inner); k=20 at t=100
+        # precedes its only right row → dropped
+        assert out.loc[1, "payload"] == "a"
+        assert out.loc[2, "payload"] == "b"
+        assert set(out.index) == {1, 2}
+        assert out.loc[1, "t2"] == 100  # the right's on column rides along
+
+    def test_forward_direction(self, ray_session):
+        from fancyrag_ray.functions.relational import asof_join
+
+        left, right = self._sides()
+        out = asof_join(
+            left, right, on="t", by="k", right_on="t2", right_by="k2",
+            direction="forward", num_partitions=2,
+        ).to_pandas().set_index("lid")
+        assert out.loc[3, "payload"] == "a"  # t=50 → next row t2=100
+        assert out.loc[4, "payload"] == "c"  # k=20 t=100 → t2=300
+        assert 2 not in out.index  # t=205 has no later right row
+
+    def test_payload_collision_rejected(self, ray_session):
+        from fancyrag_ray.functions.relational import asof_join
+
+        left, right = self._sides()
+        bad = right.map_batches(
+            lambda t: t.rename_columns(["k2", "t2", "lid"]), batch_format="pyarrow"
+        )
+        with pytest.raises(ValueError, match="collision"):
+            asof_join(left, bad, on="t", by="k", right_on="t2", right_by="k2")
+
+    def test_dtype_mismatch_rejected(self, ray_session):
+        from fancyrag_ray.functions.relational import asof_join
+
+        left, right = self._sides()
+        bad = right.map_batches(
+            lambda t: t.set_column(1, "t2", t.column("t2").cast(pa.int32())),
+            batch_format="pyarrow",
+        )
+        with pytest.raises(ValueError, match="dtypes"):
+            asof_join(left, bad, on="t", by="k", right_on="t2", right_by="k2")
+
+
 class TestConnectedComponents:
     def _edges(self):
         return rd.from_arrow(
