@@ -235,6 +235,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": R.events_sessions,
         "events_sessions_sharded": R.events_sessions_sharded,
         "events_last_order": R.events_last_order,
+        "events_rolling_hour": R.events_rolling_hour,
+        "events_session_attribution": R.events_session_attribution,
         # KG per-document stages (SURVEY §2.1-2.3, §2.7-2.8)
         "chunk_documents": T.chunk_documents,
         "token_stats_by_source": T.token_stats_by_source,
@@ -285,6 +287,10 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions_sharded": R.EVENTS_SESSIONS_SQL,
         # distributed as-of join vs DuckDB's native ASOF JOIN
         "events_last_order": R.EVENTS_LAST_ORDER_SQL,
+        # sliding-window aggregate vs a SQL RANGE window frame
+        "events_rolling_hour": R.EVENTS_ROLLING_HOUR_SQL,
+        # interval-containment range join vs SQL BETWEEN join
+        "events_session_attribution": R.EVENTS_SESSION_ATTRIBUTION_SQL,
         "chunk_documents": T.CHUNK_DOCUMENTS_SQL,
         "token_stats_by_source": T.TOKEN_STATS_BY_SOURCE_SQL,
         "token_histogram": T.TOKEN_HISTOGRAM_SQL,

@@ -266,6 +266,8 @@ def main() -> None:
             "events_sessions": timed(R.events_sessions),
             "events_sessions_sharded": timed(R.events_sessions_sharded),
             "events_last_order": timed(R.events_last_order),
+            "events_rolling_hour": timed(R.events_rolling_hour),
+            "events_session_attribution": timed(R.events_session_attribution),
             "chunk_documents": timed(T.chunk_documents),
             "term_mentions": timed(T.term_mentions),
             "dedup_exact": timed(T.dedup_exact),

@@ -634,6 +634,296 @@ def asof_join(
     return hash_partitioned_combine(tagged, ["__k"], _merge, num_partitions)
 
 
+def rolling_window_aggregate(
+    ds: rd.Dataset,
+    on: str,
+    by: str,
+    value_col: str,
+    window_seconds: int,
+    out_sum: str = "win_sum",
+    out_n: str = "win_n",
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Per-row sliding-window aggregate: for each row, the sum/count of
+    ``value_col`` over all rows of the same ``by`` key with ``on`` in
+    ``[t - window, t]`` (both edges inclusive — SQL ``RANGE BETWEEN
+    window PRECEDING AND CURRENT ROW`` semantics, including peers at the
+    current timestamp). An operator Ray Data lacks; composition:
+    hash-partition by key, then per block (a) pre-sum per (key, time) so
+    equal-timestamp peers aggregate identically to SQL's RANGE frame —
+    a positional rolling window would exclude LATER peer rows — then
+    (b) one vectorized time-windowed ``pandas.rolling`` per block and a
+    merge back onto the rows.
+
+    Partitioning assumption: all rows of one ``by`` key fit one block
+    (same contract as ``asof_join``; hot keys need time-sharding with a
+    ``window``-wide boundary overlap replicated between shards).
+
+    ``value_col`` should be integer (pre-scale currency to cents) for a
+    bit-stable match with a SQL oracle: integer window sums are exact in
+    both engines, float sliding sums are accumulation-order-dependent.
+    """
+    import pandas as pd
+
+    from ..util import hash_partitioned_combine
+
+    sch = ds.schema()
+    out_schema = pa.schema(
+        [pa.field(n, t) for n, t in zip(sch.names, sch.types)]
+        + [pa.field(out_sum, pa.int64()), pa.field(out_n, pa.int64())]
+    )
+
+    def _roll(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas()
+        g = (
+            df.groupby([by, on], sort=True)[value_col]
+            .agg(["sum", "size"])
+            .reset_index()
+        )
+        r = (
+            g.groupby(by, sort=False)
+            .rolling(pd.Timedelta(seconds=window_seconds), on=on, closed="both")[["sum", "size"]]
+            .sum()
+            .reset_index(drop=True)
+        )
+        g[out_sum] = r["sum"].astype("int64")
+        g[out_n] = r["size"].astype("int64")
+        merged = df.merge(g[[by, on, out_sum, out_n]], on=[by, on], how="left")
+        arrays = [
+            pa.Array.from_pandas(merged[c], type=out_schema.field(c).type)
+            for c in out_schema.names
+        ]
+        return pa.Table.from_arrays(arrays, schema=out_schema)
+
+    return hash_partitioned_combine(ds, [by], _roll, num_partitions)
+
+
+def events_rolling_hour(sf_dir: str) -> rd.Dataset:
+    """Driver query for ``rolling_window_aggregate``: each event with the
+    1-hour trailing sum (integer cents) and count of its user's event
+    values — oracle is the equivalent SQL RANGE window frame."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(t.column("value"), pa.scalar(100.0))).cast(pa.int64())
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "value_cents": cents,
+            }
+        )
+
+    n_events = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    return rolling_window_aggregate(
+        ds.map_batches(_cents, batch_format="pyarrow"),
+        on="ts",
+        by="user_id",
+        value_col="value_cents",
+        window_seconds=3600,
+        out_sum="win_sum_cents",
+        num_partitions=adaptive_partitions(16, n_rows=n_events),
+    ).select_columns(["event_id", "user_id", "ts", "win_sum_cents", "win_n"])
+
+
+EVENTS_ROLLING_HOUR_SQL = """
+SELECT event_id, user_id, ts,
+  sum(CAST(round(value * 100) AS BIGINT)) OVER w AS win_sum_cents,
+  count(*) OVER w AS win_n
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts
+  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+)
+"""
+
+
+def range_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    by: str,
+    lower: str,
+    upper: str,
+    right_by: str | None = None,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Distributed interval-containment join: left rows matched to every
+    right interval with ``lower <= on <= upper`` under the same key
+    (inner; a left row may match 0..m intervals). An operator Ray Data
+    lacks; composition: tag sides → hash-co-partition the UNION by key
+    (one shuffle moves both sides) → per-block vectorized matching.
+
+    Per-block algorithm (no per-row Python): intervals sorted by start;
+    a matching interval for time t must have ``lower ∈ (t - L, t]``
+    where L = the key's longest interval, so two ``searchsorted`` calls
+    bound a candidate slice per left row, candidates expand via the
+    repeat+cumsum-offsets pattern, and one boolean mask keeps
+    ``upper >= t``. Fan-out bound: candidates per row ≤ the number of
+    interval STARTS inside any L-wide window — tight for disjoint or
+    modestly overlapping intervals (sessions, maintenance windows); a
+    single huge interval per key degrades the prune, not correctness.
+
+    Partitioning assumption: one key's rows fit one block (same
+    contract as ``asof_join``).
+    """
+    from ..util import hash_partitioned_combine
+
+    right_by = right_by or by
+    lsch, rsch = left.schema(), right.schema()
+    lcols = list(lsch.names)
+    rcols = [c for c in rsch.names if c != right_by]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"payload column collision: {sorted(overlap)}")
+    ltypes = dict(zip(lsch.names, lsch.types))
+    rtypes = dict(zip(rsch.names, rsch.types))
+    if ltypes[by] != rtypes[right_by] or ltypes[on] != rtypes[lower] or ltypes[on] != rtypes[upper]:
+        raise ValueError("by/on/bound dtypes must match across sides")
+
+    def _std_left(t: pa.Table) -> pa.Table:
+        cols = {"__k": t.column(by), "__side": pa.array([0] * len(t), pa.int8())}
+        for c in lcols:
+            cols[c] = t.column(c)
+        for c in rcols:
+            cols[c] = pa.nulls(len(t), rtypes[c])
+        return pa.table(cols)
+
+    def _std_right(t: pa.Table) -> pa.Table:
+        cols = {"__k": t.column(right_by), "__side": pa.array([1] * len(t), pa.int8())}
+        for c in lcols:
+            cols[c] = pa.nulls(len(t), ltypes[c])
+        for c in rcols:
+            cols[c] = t.column(c)
+        return pa.table(cols)
+
+    tagged = left.map_batches(_std_left, batch_format="pyarrow").union(
+        right.map_batches(_std_right, batch_format="pyarrow")
+    )
+    out_schema = pa.schema(
+        [pa.field(c, ltypes[c]) for c in lcols] + [pa.field(c, rtypes[c]) for c in rcols]
+    )
+
+    def _match(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        l = df[df["__side"] == 0].sort_values(["__k", on], kind="mergesort")
+        r = df[df["__side"] == 1].sort_values(["__k", lower], kind="mergesort")
+        if len(l) == 0 or len(r) == 0:
+            return out_schema.empty_table()
+        lt = l[on].to_numpy()
+        lk = l["__k"].to_numpy()
+        rlo = r[lower].to_numpy()
+        rhi = r[upper].to_numpy()
+        rk = r["__k"].to_numpy()
+        left_take: list[np.ndarray] = []
+        right_take: list[np.ndarray] = []
+        # key segments (both frames sorted by key): vectorized work per
+        # key, one python iteration per DISTINCT key in the block
+        lkeys, lstarts = np.unique(lk, return_index=True)
+        rkeys, rstarts = np.unique(rk, return_index=True)
+        rmap = {k: i for i, k in enumerate(rkeys)}
+        lbounds = np.append(lstarts, len(lk))
+        rbounds = np.append(rstarts, len(rk))
+        for i, key in enumerate(lkeys):
+            j = rmap.get(key)
+            if j is None:
+                continue
+            ls, le = lbounds[i], lbounds[i + 1]
+            rs, re = rbounds[j], rbounds[j + 1]
+            lo_seg, hi_seg = rlo[rs:re], rhi[rs:re]
+            t_seg = lt[ls:le]
+            L = (hi_seg - lo_seg).max()
+            c0 = np.searchsorted(lo_seg, t_seg - L, side="left")
+            c1 = np.searchsorted(lo_seg, t_seg, side="right")
+            counts = c1 - c0
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            # repeat+offsets expansion: candidate interval index for
+            # each (left row, local candidate slot) pair
+            lrep = np.repeat(np.arange(ls, le), counts)
+            offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+            cand = np.repeat(c0, counts) + offs
+            keep = hi_seg[cand] >= lt[lrep]
+            left_take.append(lrep[keep])
+            right_take.append(rs + cand[keep])
+        if not left_take:
+            return out_schema.empty_table()
+        li = np.concatenate(left_take)
+        ri = np.concatenate(right_take)
+        out = {c: l[c].to_numpy()[li] for c in lcols}
+        out.update({c: r[c].to_numpy()[ri] for c in rcols})
+        arrays = [
+            pa.Array.from_pandas(pd.Series(out[c]), type=out_schema.field(c).type)
+            for c in out_schema.names
+        ]
+        return pa.Table.from_arrays(arrays, schema=out_schema)
+
+    return hash_partitioned_combine(tagged, ["__k"], _match, num_partitions)
+
+
+def events_session_attribution(sf_dir: str) -> rd.Dataset:
+    """Driver query for ``range_join``: each event attributed to the
+    session interval that contains it (sessions from the sharded
+    sessionizer, whose per-session rows are oracle-equal to the SQL
+    CTE). Every event lands in exactly one session, so row count equals
+    the events table — a self-validating property."""
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    sessions = events_sessions_sharded(sf_dir).select_columns(
+        ["user_id", "session_id", "t_start", "t_end"]
+    )
+
+    def _recast(t: pa.Table) -> pa.Table:
+        cols = {
+            "s_user": t.column("user_id").cast(pa.int64()),
+            "session_id": t.column("session_id"),
+            "t_start": t.column("t_start").cast(pa.timestamp("us")),
+            "t_end": t.column("t_end").cast(pa.timestamp("us")),
+        }
+        return pa.table(cols)
+
+    n_events = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    return range_join(
+        events,
+        sessions.map_batches(_recast, batch_format="pyarrow").materialize(),
+        on="ts",
+        by="user_id",
+        lower="t_start",
+        upper="t_end",
+        right_by="s_user",
+        num_partitions=adaptive_partitions(16, n_rows=n_events),
+    ).select_columns(["event_id", "user_id", "ts", "session_id"])
+
+
+EVENTS_SESSION_ATTRIBUTION_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+), intervals AS (
+  SELECT user_id, CAST(session_id AS INTEGER) AS session_id,
+         MIN(ts) AS t_start, MAX(ts) AS t_end
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT e.event_id, e.user_id, e.ts, i.session_id
+FROM events e
+JOIN intervals i
+  ON e.user_id = i.user_id AND e.ts BETWEEN i.t_start AND i.t_end
+"""
+
+
 def events_last_order(sf_dir: str) -> rd.Dataset:
     """Driver query for ``asof_join``: each event annotated with the
     user's most recent order as of the event time (DuckDB ``ASOF JOIN``

@@ -228,6 +228,97 @@ class TestAsofJoin:
             asof_join(left, bad, on="t", by="k", right_on="t2", right_by="k2")
 
 
+class TestRangeJoin:
+    def test_overlapping_intervals_fan_out(self, ray_session):
+        """A left row inside m overlapping intervals yields m rows;
+        edges are inclusive; non-contained rows drop (inner)."""
+        from fancyrag_ray.functions.relational import range_join
+
+        left = rd.from_arrow(
+            pa.table(
+                {
+                    "lid": pa.array([1, 2, 3], pa.int64()),
+                    "k": pa.array([1, 1, 2], pa.int64()),
+                    "t": pa.array([5, 100, 5], pa.int64()),
+                }
+            )
+        )
+        right = rd.from_arrow(
+            pa.table(
+                {
+                    "k2": pa.array([1, 1, 1], pa.int64()),
+                    "lo": pa.array([0, 5, 50], pa.int64()),
+                    "hi": pa.array([10, 6, 60], pa.int64()),
+                    "iv": ["a", "b", "c"],
+                }
+            )
+        )
+        out = range_join(
+            left, right, on="t", by="k", lower="lo", upper="hi",
+            right_by="k2", num_partitions=2,
+        ).to_pandas()
+        got = set(zip(out["lid"], out["iv"]))
+        # t=5 inside [0,10] AND [5,6] (inclusive lower edge); t=100 in
+        # nothing; k=2 has no intervals
+        assert got == {(1, "a"), (1, "b")}
+
+    def test_huge_interval_still_correct(self, ray_session):
+        """One giant interval degrades the candidate prune, not
+        correctness."""
+        from fancyrag_ray.functions.relational import range_join
+
+        left = rd.from_arrow(
+            pa.table({"lid": pa.array([1, 2], pa.int64()),
+                      "k": pa.array([1, 1], pa.int64()),
+                      "t": pa.array([500, 2000], pa.int64())})
+        )
+        right = rd.from_arrow(
+            pa.table({"k2": pa.array([1, 1], pa.int64()),
+                      "lo": pa.array([0, 400], pa.int64()),
+                      "hi": pa.array([1000, 450], pa.int64()),
+                      "iv": ["wide", "narrow"]})
+        )
+        out = range_join(left, right, on="t", by="k", lower="lo", upper="hi",
+                         right_by="k2", num_partitions=2).to_pandas()
+        assert set(zip(out["lid"], out["iv"])) == {(1, "wide")}
+
+
+class TestRollingWindow:
+    def test_range_frame_semantics(self, ray_session):
+        """SQL RANGE-frame pins: equal-timestamp peers all see the full
+        peer group (even peers AFTER them in row order), both window
+        edges inclusive, keys independent."""
+        import datetime as dt
+
+        from fancyrag_ray.functions.relational import rolling_window_aggregate
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            # key 1: two peers at t=+0s, one at +3600s (inside [0, 3600]),
+            # one at +3601s (outside the first pair's window)
+            (1, 1, 0, 10), (2, 1, 0, 20), (3, 1, 3600, 5), (4, 1, 3601, 1),
+            (5, 2, 0, 7),  # key 2 isolated
+        ]
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array([base + dt.timedelta(seconds=r[2]) for r in rows],
+                               pa.timestamp("us")),
+                "v": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+        out = rolling_window_aggregate(
+            rd.from_arrow(t), on="ts", by="user_id", value_col="v",
+            window_seconds=3600, num_partitions=2,
+        ).to_pandas().set_index("event_id")
+        assert out.loc[1, "win_sum"] == 30 and out.loc[2, "win_sum"] == 30  # peers see each other
+        assert out.loc[3, "win_sum"] == 35  # [0, 3600] includes both edges
+        assert out.loc[4, "win_sum"] == 6   # window (1, 3601]: drops the peers at 0
+        assert out.loc[5, "win_sum"] == 7 and out.loc[5, "win_n"] == 1
+        assert out.loc[3, "win_n"] == 3
+
+
 class TestConnectedComponents:
     def _edges(self):
         return rd.from_arrow(
