@@ -40,6 +40,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from fancyrag_ray.functions import analytics as A
     from fancyrag_ray.functions import relational as R
     from fancyrag_ray.functions import similarity as S
     from fancyrag_ray.functions import textops as T
@@ -237,6 +238,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_last_order": R.events_last_order,
         "events_rolling_hour": R.events_rolling_hour,
         "events_session_attribution": R.events_session_attribution,
+        # analytics operators Ray Data lacks (grouped top-N, exact
+        # grouped quantiles, pivot, stratified sampling)
+        "top_orders_per_customer": A.top_orders_per_customer,
+        "order_price_quantiles": A.order_price_quantiles,
+        "events_type_pivot": A.events_type_pivot,
+        "stratified_sample_events": A.stratified_sample_events,
         # KG per-document stages (SURVEY §2.1-2.3, §2.7-2.8)
         "chunk_documents": T.chunk_documents,
         "token_stats_by_source": T.token_stats_by_source,
@@ -268,6 +275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from fancyrag_ray.functions import analytics as A
     from fancyrag_ray.functions import dedup as D
     from fancyrag_ray.functions import relational as R
     from fancyrag_ray.functions import similarity as S
@@ -291,6 +299,13 @@ def oracle_sql() -> dict[str, str]:
         "events_rolling_hour": R.EVENTS_ROLLING_HOUR_SQL,
         # interval-containment range join vs SQL BETWEEN join
         "events_session_attribution": R.EVENTS_SESSION_ATTRIBUTION_SQL,
+        # grouped top-N vs ROW_NUMBER window; exact grouped quantiles vs
+        # quantile_disc; pivot vs COUNT FILTER; stratified sample vs the
+        # md5-threshold CASE
+        "top_orders_per_customer": A.TOP_ORDERS_PER_CUSTOMER_SQL,
+        "order_price_quantiles": A.ORDER_PRICE_QUANTILES_SQL,
+        "events_type_pivot": A.EVENTS_TYPE_PIVOT_SQL,
+        "stratified_sample_events": A.STRATIFIED_SAMPLE_EVENTS_SQL,
         "chunk_documents": T.CHUNK_DOCUMENTS_SQL,
         "token_stats_by_source": T.TOKEN_STATS_BY_SOURCE_SQL,
         "token_histogram": T.TOKEN_HISTOGRAM_SQL,

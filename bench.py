@@ -244,6 +244,7 @@ def main() -> None:
     # ---- operator suite (skipped in headline-only scaling children) ----
     queries: dict = {}
     if not headline_only:
+        from fancyrag_ray.functions import analytics as A
         from fancyrag_ray.functions import relational as R
         from fancyrag_ray.functions import similarity as S
         from fancyrag_ray.functions import textops as T
@@ -268,6 +269,10 @@ def main() -> None:
             "events_last_order": timed(R.events_last_order),
             "events_rolling_hour": timed(R.events_rolling_hour),
             "events_session_attribution": timed(R.events_session_attribution),
+            "top_orders_per_customer": timed(A.top_orders_per_customer),
+            "order_price_quantiles": timed(A.order_price_quantiles),
+            "events_type_pivot": timed(A.events_type_pivot),
+            "stratified_sample_events": timed(A.stratified_sample_events),
             "chunk_documents": timed(T.chunk_documents),
             "term_mentions": timed(T.term_mentions),
             "dedup_exact": timed(T.dedup_exact),

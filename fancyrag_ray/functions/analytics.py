@@ -1,0 +1,390 @@
+"""Distributed analytics operators Ray Data lacks: grouped top-N,
+exact grouped quantiles, pivot-to-wide, stratified sampling.
+
+Training-data-pipeline extensions in the same family as ``asof_join`` /
+``range_join`` (functions/relational.py): each is expressed as
+``map_batches`` partials + one hash co-partitioning shuffle, never a
+global sort, and each ships with a DuckDB-oracled driver query. The
+reference engine has no analogues (SURVEY §2.6 notes the gap); these are
+the aggregate surface a 100-TB curation pipeline needs (per-source
+top-k exemplars, per-stratum size quotas, quality-score percentiles).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from ..util import adaptive_partitions, hash_partitioned_combine
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# grouped top-N
+# ---------------------------------------------------------------------------
+
+
+def grouped_topk(
+    ds: rd.Dataset,
+    by: str,
+    order_col: str,
+    k: int,
+    tiebreak: str,
+    descending: bool = True,
+    rank_col: str = "rk",
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Top-``k`` rows per ``by`` group ordered by ``order_col`` (then
+    ``tiebreak`` ascending for a total, engine-independent order), with
+    a 1-based ``rank_col`` — SQL ``ROW_NUMBER() OVER (PARTITION BY ...
+    ORDER BY ...) <= k`` semantics.
+
+    Scale shape: a per-block partial prune keeps at most ``k`` rows per
+    group per block — the shuffle then moves ≤ k × (groups-per-block)
+    rows instead of the full table — and one hash co-partitioning
+    shuffle brings each group's ≤ k·num_blocks survivors to a single
+    block where the identical prune is the final combine. No global
+    sort; a group hot enough to appear in every block still lands at
+    most k·num_blocks rows on one partition.
+
+    Both passes are vectorized: one ``sort_values`` (stable mergesort)
+    + ``groupby(...).cumcount()`` mask per block, no per-row Python.
+    """
+    s = ds.schema()
+    sch = pa.schema(list(zip(s.names, s.types)))
+    out_schema = pa.schema(list(sch) + [pa.field(rank_col, pa.int64())])
+    sort_cols = [by, order_col, tiebreak]
+    asc = [True, not descending, True]
+
+    def _rank(t: pa.Table) -> tuple:
+        df = t.to_pandas().sort_values(sort_cols, ascending=asc, kind="mergesort")
+        rk = df.groupby(by, sort=False).cumcount().to_numpy()
+        return df, rk
+
+    def _prune(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        df, rk = _rank(t)
+        kept = df[rk < k]
+        arrays = [pa.Array.from_pandas(kept[c], type=sch.field(c).type) for c in sch.names]
+        return pa.Table.from_arrays(arrays, schema=sch)
+
+    def _final(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return out_schema.empty_table()
+        df, rk = _rank(t)
+        kept = df[rk < k].copy()
+        kept[rank_col] = (rk[rk < k] + 1).astype("int64")
+        arrays = [
+            pa.Array.from_pandas(kept[c], type=out_schema.field(c).type)
+            for c in out_schema.names
+        ]
+        return pa.Table.from_arrays(arrays, schema=out_schema)
+
+    pruned = ds.map_batches(_prune, batch_format="pyarrow", batch_size=None)
+    return hash_partitioned_combine(pruned, [by], _final, num_partitions)
+
+
+def top_orders_per_customer(sf_dir: str) -> rd.Dataset:
+    """Driver query for ``grouped_topk``: each customer's 3 most
+    expensive orders with rank — oracle is the ROW_NUMBER window."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    n = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    return grouped_topk(
+        ds,
+        by="o_custkey",
+        order_col="o_totalprice",
+        k=3,
+        tiebreak="o_orderkey",
+        num_partitions=adaptive_partitions(16, n_rows=n),
+    )
+
+
+TOP_ORDERS_PER_CUSTOMER_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact grouped quantiles
+# ---------------------------------------------------------------------------
+
+
+def grouped_quantile_exact(
+    ds: rd.Dataset,
+    by: str,
+    value_col: str,
+    quantiles: list[float],
+    out_names: list[str],
+    count_name: str = "n",
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """EXACT per-group discrete quantiles (DuckDB ``quantile_disc``
+    semantics: sorted 0-based index ``max(0, ceil(q·n) − 1)``, no
+    interpolation — pinned empirically against DuckDB) without ever
+    sorting or co-locating the raw rows.
+
+    Scale shape: per-block ``group_by(by, value).count`` collapses rows
+    to distinct (group, value) pairs BEFORE the shuffle, so the
+    exchange volume is bounded by the value domain (cents, token
+    counts, scores), not the row count; the hash shuffle co-partitions
+    pairs by group and the final combine re-sums pair counts, sorts the
+    ≤|domain| distinct values, and reads quantiles off the count
+    cumsum. A group with billions of rows but a bounded domain costs
+    one small sorted array. Partitioning assumption: one group's
+    DISTINCT values fit a block (unbounded continuous domains should be
+    quantized first — which is also what makes a bit-stable cross-engine
+    oracle possible).
+    """
+    s = ds.schema()
+    types = dict(zip(s.names, s.types))
+    vtype = types[value_col]
+    out_schema = pa.schema(
+        [pa.field(by, types[by]), pa.field(count_name, pa.int64())]
+        + [pa.field(nm, vtype) for nm in out_names]
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = t.select([by, value_col]).group_by([by, value_col]).aggregate([([], "count_all")])
+        return g.rename_columns([by, value_col, "__n"])
+
+    def _final(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return out_schema.empty_table()
+        agg = t.group_by([by, value_col]).aggregate([("__n", "sum")])
+        df = agg.to_pandas().sort_values([by, value_col], kind="mergesort")
+        keys = df[by].to_numpy()
+        vals = df[value_col].to_numpy()
+        cnt = df["__n_sum"].to_numpy().astype(np.int64)
+        ukeys, starts = np.unique(keys, return_index=True)
+        bounds = np.append(starts, len(keys))
+        out: dict[str, list] = {by: [], count_name: []}
+        for nm in out_names:
+            out[nm] = []
+        # one Python iteration per GROUP in the partition (groups are
+        # low-cardinality by contract); all per-value work is numpy
+        for i, kk in enumerate(ukeys):
+            s, e = bounds[i], bounds[i + 1]
+            c = np.cumsum(cnt[s:e])
+            n = int(c[-1])
+            out[by].append(kk)
+            out[count_name].append(n)
+            for q, nm in zip(quantiles, out_names):
+                idx = max(0, math.ceil(q * n) - 1)
+                j = int(np.searchsorted(c, idx + 1, side="left"))
+                out[nm].append(vals[s + j])
+        arrays = [
+            pa.array(out[f.name], type=f.type) if f.name != by
+            else pa.Array.from_pandas(np.asarray(out[by]), type=f.type)
+            for f in out_schema
+        ]
+        return pa.Table.from_arrays(arrays, schema=out_schema)
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+    return hash_partitioned_combine(partials, [by], _final, num_partitions)
+
+
+def order_price_quantiles(sf_dir: str) -> rd.Dataset:
+    """Driver query for ``grouped_quantile_exact``: median / p90 order
+    price in integer cents per order priority (cents quantization is
+    what makes the distributed result bit-equal to the SQL oracle)."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(t.column("o_totalprice"), pa.scalar(100.0))).cast(pa.int64())
+        return pa.table({"o_orderpriority": t.column("o_orderpriority"), "cents": cents})
+
+    return grouped_quantile_exact(
+        ds.map_batches(_cents, batch_format="pyarrow"),
+        by="o_orderpriority",
+        value_col="cents",
+        quantiles=[0.5, 0.9],
+        out_names=["p50_cents", "p90_cents"],
+        num_partitions=2,  # 5 groups
+    )
+
+
+ORDER_PRICE_QUANTILES_SQL = """
+SELECT o_orderpriority, count(*) AS n,
+       quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) AS p50_cents,
+       quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.9) AS p90_cents
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# pivot to wide counts
+# ---------------------------------------------------------------------------
+
+
+def pivot_counts(
+    ds: rd.Dataset,
+    row_key: str,
+    col_key: str,
+    categories: list[str],
+    prefix: str = "n_",
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Pivot long (row, category) pairs to one wide row per ``row_key``
+    with a zero-filled int64 count column per category. Categories are
+    declared up front — the same static-schema contract as SQL
+    ``PIVOT ... IN (...)`` — because a Dataset's schema cannot depend on
+    the data. Unlisted categories are ignored.
+
+    Scale shape: per-block ``group_by(row, col).count`` partials (the
+    shuffle moves ≤ rows-per-block × |categories| pair counts, not
+    rows), hash co-partition by ``row_key``, and a vectorized widen —
+    per category one boolean-mask sum over the partition's pairs.
+    """
+    s = ds.schema()
+    rtype = dict(zip(s.names, s.types))[row_key]
+    out_schema = pa.schema(
+        [pa.field(row_key, rtype)]
+        + [pa.field(f"{prefix}{c}", pa.int64()) for c in categories]
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = t.select([row_key, col_key]).group_by([row_key, col_key]).aggregate([([], "count_all")])
+        return g.rename_columns([row_key, col_key, "__n"])
+
+    def _final(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return out_schema.empty_table()
+        agg = t.group_by([row_key, col_key]).aggregate([("__n", "sum")])
+        df = agg.to_pandas()
+        wide = df.pivot_table(
+            index=row_key, columns=col_key, values="__n_sum", aggfunc="sum", fill_value=0
+        )
+        arrays = [pa.Array.from_pandas(wide.index.to_series(), type=rtype)]
+        for c in categories:
+            col = wide[c] if c in wide.columns else np.zeros(len(wide), dtype=np.int64)
+            arrays.append(pa.array(np.asarray(col, dtype=np.int64), type=pa.int64()))
+        return pa.Table.from_arrays(arrays, schema=out_schema)
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+    return hash_partitioned_combine(partials, [row_key], _final, num_partitions)
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_type_pivot(sf_dir: str) -> rd.Dataset:
+    """Driver query for ``pivot_counts``: events per day × event type,
+    one wide row per day — oracle is COUNT(*) FILTER conditional
+    aggregation."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def _day(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": pc.floor_temporal(t.column("ts"), unit="day"),
+                "event_type": t.column("event_type"),
+            }
+        )
+
+    return pivot_counts(
+        ds.map_batches(_day, batch_format="pyarrow"),
+        row_key="day",
+        col_key="event_type",
+        categories=EVENT_TYPES,
+        num_partitions=4,
+    )
+
+
+EVENTS_TYPE_PIVOT_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS n_view
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# stratified deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+def _hash_threshold(bp: int) -> str:
+    """4-hex-digit md5-prefix threshold for a basis-point rate. A 100%
+    rate maps to ``"g"`` — lexicographically above every hex string —
+    because ``format(65536, "04x") == "10000"`` compares BELOW any
+    prefix starting with '2'..'f' and would silently sample ~6%."""
+    v = (65536 * bp) // 10000
+    return "g" if v >= 65536 else format(v, "04x")
+
+
+def stratified_hash_sample(
+    ds: rd.Dataset,
+    strata_col: str,
+    id_col: str,
+    rates_bp: dict[str, int],
+    default_bp: int = 0,
+) -> rd.Dataset:
+    """Per-stratum deterministic hash sampling: keep a row iff the
+    first 4 hex chars of md5(id) fall below the stratum's basis-point
+    threshold. The strata rebalancer of a training-data pipeline
+    (downsample boilerplate crawl, keep all rare strata) in the same
+    engine-independent idiom as ``sample_documents_hash``
+    (functions/textops.py): shuffle-free, partition-independent,
+    resumable, and SQL-reproducible so the oracle checks it exactly.
+    md5 has no Arrow kernel, so the digest is the one per-row Python
+    step (same documented tradeoff as ``sample_documents_hash``).
+    """
+    thresholds = {s: _hash_threshold(bp) for s, bp in rates_bp.items()}
+    default_thresh = _hash_threshold(default_bp)
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        strata = t.column(strata_col).to_pylist()
+        keep = pa.array(
+            [
+                hashlib.md5(str(i).encode()).hexdigest()[:4]
+                < thresholds.get(s, default_thresh)
+                for i, s in zip(ids, strata)
+            ],
+            pa.bool_(),
+        )
+        return t.filter(keep)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+EVENT_SAMPLE_RATES_BP = {"view": 500, "click": 1000, "error": 5000, "signup": 10000, "purchase": 10000}
+
+
+def stratified_sample_events(sf_dir: str) -> rd.Dataset:
+    """Driver query for ``stratified_hash_sample``: downsample the
+    high-volume event types, keep all of the rare ones."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "user_id"])
+    return stratified_hash_sample(ds, "event_type", "event_id", EVENT_SAMPLE_RATES_BP)
+
+
+def _stratified_sql() -> str:
+    cases = " ".join(
+        f"WHEN event_type = '{s}' THEN '{_hash_threshold(bp)}'"
+        for s, bp in EVENT_SAMPLE_RATES_BP.items()
+    )
+    return f"""
+SELECT event_id, event_type, user_id FROM events
+WHERE SUBSTR(MD5(CAST(event_id AS VARCHAR)), 1, 4) < (CASE {cases} ELSE '0000' END)
+"""
+
+
+STRATIFIED_SAMPLE_EVENTS_SQL = _stratified_sql()

@@ -1,0 +1,168 @@
+"""Unit tests for the distributed analytics operators (grouped top-N,
+exact grouped quantiles, pivot-to-wide, stratified sampling)."""
+
+import hashlib
+import math
+
+import pyarrow as pa
+import ray.data as rd
+
+from fancyrag_ray.functions.analytics import (
+    grouped_quantile_exact,
+    grouped_topk,
+    pivot_counts,
+    stratified_hash_sample,
+)
+
+
+class TestGroupedTopk:
+    def test_rank_and_tiebreak(self, ray_session):
+        """ROW_NUMBER semantics: k best per group by value desc, ties
+        broken by id asc, 1-based rank; groups smaller than k keep all."""
+        t = pa.table(
+            {
+                "g": pa.array([1, 1, 1, 1, 2], pa.int64()),
+                "id": pa.array([10, 11, 12, 13, 20], pa.int64()),
+                "v": pa.array([5.0, 9.0, 9.0, 1.0, 3.0], pa.float64()),
+            }
+        )
+        out = (
+            grouped_topk(
+                rd.from_arrow(t), by="g", order_col="v", k=2, tiebreak="id",
+                num_partitions=2,
+            )
+            .to_pandas()
+            .sort_values(["g", "rk"])
+            .reset_index(drop=True)
+        )
+        # ties at v=9.0: id 11 ranks before id 12; id 13 (v=1) pruned
+        assert list(zip(out["g"], out["id"], out["rk"])) == [
+            (1, 11, 1), (1, 12, 2), (2, 20, 1),
+        ]
+
+    def test_partial_prune_across_blocks(self, ray_session):
+        """A group scattered across many input blocks still yields the
+        global top-k (the per-block prune is a safe partial)."""
+        n = 500
+        t = pa.table(
+            {
+                "g": pa.array([0] * n, pa.int64()),
+                "id": pa.array(list(range(n)), pa.int64()),
+                "v": pa.array([float(i) for i in range(n)], pa.float64()),
+            }
+        )
+        ds = rd.from_arrow(t).repartition(10)
+        out = grouped_topk(
+            ds, by="g", order_col="v", k=3, tiebreak="id", num_partitions=2
+        ).to_pandas()
+        assert sorted(out["id"]) == [n - 3, n - 2, n - 1]
+
+
+class TestGroupedQuantileExact:
+    def test_matches_quantile_disc_indexing(self, ray_session):
+        """quantile_disc semantics: sorted index max(0, ceil(q*n)-1) —
+        checked against a directly computed expansion, duplicates
+        collapsing to (value, count) pairs across blocks."""
+        vals = [10, 20, 20, 30, 40, 40, 40, 50]
+        t = pa.table(
+            {
+                "g": pa.array(["a"] * len(vals), pa.string()),
+                "v": pa.array(vals, pa.int64()),
+            }
+        )
+        ds = rd.from_arrow(t).repartition(4)
+        out = grouped_quantile_exact(
+            ds, by="g", value_col="v", quantiles=[0.0, 0.5, 0.9, 1.0],
+            out_names=["p0", "p50", "p90", "p100"], num_partitions=2,
+        ).to_pandas()
+        assert len(out) == 1
+        row = out.iloc[0]
+        sv = sorted(vals)
+        for q, nm in [(0.0, "p0"), (0.5, "p50"), (0.9, "p90"), (1.0, "p100")]:
+            idx = max(0, math.ceil(q * len(sv)) - 1)
+            assert row[nm] == sv[idx], nm
+        assert row["n"] == len(vals)
+
+    def test_multiple_groups(self, ray_session):
+        t = pa.table(
+            {
+                "g": pa.array(["a", "a", "b"], pa.string()),
+                "v": pa.array([1, 3, 7], pa.int64()),
+            }
+        )
+        out = (
+            grouped_quantile_exact(
+                rd.from_arrow(t), by="g", value_col="v", quantiles=[0.5],
+                out_names=["p50"], num_partitions=2,
+            )
+            .to_pandas()
+            .set_index("g")
+        )
+        assert out.loc["a", "p50"] == 1  # ceil(0.5*2)-1 = 0 → first value
+        assert out.loc["b", "p50"] == 7
+
+
+class TestPivotCounts:
+    def test_wide_zero_filled(self, ray_session):
+        t = pa.table(
+            {
+                "day": pa.array([1, 1, 1, 2], pa.int64()),
+                "cat": pa.array(["x", "x", "y", "y"], pa.string()),
+            }
+        )
+        out = (
+            pivot_counts(
+                rd.from_arrow(t).repartition(2), row_key="day", col_key="cat",
+                categories=["x", "y", "z"], num_partitions=2,
+            )
+            .to_pandas()
+            .set_index("day")
+            .sort_index()
+        )
+        assert out.loc[1].tolist() == [2, 1, 0]
+        assert out.loc[2].tolist() == [0, 1, 0]
+        assert list(out.columns) == ["n_x", "n_y", "n_z"]
+
+    def test_unlisted_category_ignored(self, ray_session):
+        t = pa.table({"day": pa.array([1], pa.int64()), "cat": pa.array(["w"], pa.string())})
+        out = pivot_counts(
+            rd.from_arrow(t), row_key="day", col_key="cat", categories=["x"],
+            num_partitions=2,
+        ).to_pandas()
+        assert out["n_x"].tolist() == [0]
+
+
+class TestStratifiedSample:
+    def test_per_stratum_thresholds(self, ray_session):
+        """Rate 100% keeps everything in the stratum, 0%/unlisted keeps
+        nothing, and the md5 rule matches an independent recomputation."""
+        ids = list(range(200))
+        strata = ["keep" if i % 2 else "half" for i in ids]
+        t = pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "s": pa.array(strata, pa.string()),
+            }
+        )
+        rates = {"keep": 10000, "half": 5000}
+        out = stratified_hash_sample(
+            rd.from_arrow(t), strata_col="s", id_col="id", rates_bp=rates
+        ).to_pandas()
+        from fancyrag_ray.functions.analytics import _hash_threshold
+
+        expect = {
+            i
+            for i, s in zip(ids, strata)
+            if hashlib.md5(str(i).encode()).hexdigest()[:4] < _hash_threshold(rates[s])
+        }
+        assert set(out["id"]) == expect
+        assert all(s == "keep" or True for s in out["s"])
+        # every "keep" row survives (threshold 10000bp ⇒ '10000' > 'ffff')
+        assert sum(1 for s in out["s"] if s == "keep") == 100
+
+    def test_unlisted_stratum_dropped(self, ray_session):
+        t = pa.table({"id": pa.array([1, 2], pa.int64()), "s": pa.array(["u", "u"], pa.string())})
+        out = stratified_hash_sample(
+            rd.from_arrow(t), strata_col="s", id_col="id", rates_bp={"x": 10000}
+        ).to_pandas()
+        assert len(out) == 0
