@@ -73,19 +73,31 @@ def hash_partitioned_combine(ds: rd.Dataset, keys: list[str], combine_fn, num_pa
     return rep.map_batches(combine_fn, batch_format="pyarrow", batch_size=None)
 
 
-def adaptive_partitions(requested: int, minimum: int = 2, n_rows: int | None = None) -> int:
-    """Clamp a shuffle/join partition count to the cluster's CPU budget
-    and (when known) the data size.
+ROWS_PER_PARTITION = 1 << 20  # scale-up target: ~1M rows per combine block
+MIN_ROWS_PER_PARTITION = 1 << 15  # don't spawn an aggregator actor for less
 
-    Two observed failure modes motivate this:
+
+def adaptive_partitions(requested: int, minimum: int = 2, n_rows: int | None = None) -> int:
+    """Size a shuffle/join partition count to the cluster's CPU budget
+    and (when known) the data size — in BOTH directions.
+
+    Down-clamps (observed failure modes):
       * aggregator actors are spawned per partition — a count far above
         the available CPUs can wedge a small cluster (16-partition join
         deadlocks a 4-CPU local node);
       * a partition that receives ZERO rows yields a schema-less empty
         table inside the join finalizer and pyarrow's key FieldRef
         lookup fails ("No match or multiple matches for key field…") —
-        so tiny inputs must collapse to one partition.
-    At real scale (rows ≫ partitions) both clamps are no-ops.
+        so tiny inputs must collapse to one partition;
+      * below ~32k rows/partition the fixed per-aggregator spawn cost
+        dwarfs the work (measured: a 100k-row shuffle at 16 partitions
+        spends seconds spawning actors for milliseconds of combine).
+
+    Up-scale: when ``n_rows`` says the data is big, the count grows
+    toward ~1M rows per partition (capped by CPUs — which on a real
+    multi-node cluster is the large number), so a caller's small
+    default (16) never becomes the all-to-all bottleneck at 1000× the
+    data. Partition counts must come through here, not be hardcoded.
     """
     try:
         cpus = int(ray.cluster_resources().get("CPU", minimum))
@@ -95,5 +107,7 @@ def adaptive_partitions(requested: int, minimum: int = 2, n_rows: int | None = N
     if n_rows is not None:
         if n_rows < 4096:
             return 1
-        parts = min(parts, max(1, n_rows // 2048))
+        want = -(-n_rows // ROWS_PER_PARTITION)  # ceil
+        parts = min(max(parts, want), max(cpus, minimum))
+        parts = min(parts, max(1, n_rows // MIN_ROWS_PER_PARTITION))
     return parts
