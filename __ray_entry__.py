@@ -72,6 +72,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         return ngram_jaccard_duplicates(docs, jaccard_threshold=0.8)
 
+    def dedup_incremental_documents(sf_dir: str):
+        """Cross-run incremental exact dedup (the O(delta) re-crawl
+        path): run A (even doc_ids) ingests its checksums into a
+        versioned hash-bucketed seen-key store; run B (odd doc_ids) is
+        filtered against it reading ONLY the store buckets its keys hash
+        into. Returns run B's fresh rows, first occurrence per key."""
+        import hashlib
+        import shutil
+        import zlib
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from fancyrag_ray.pipelines.ingest_dedup import dedup_against_store
+
+        def add_md5(t: pa.Table) -> pa.Table:
+            sums = [hashlib.md5(x.encode()).hexdigest() for x in t.column("text").to_pylist()]
+            return t.append_column("checksum", pa.array(sums, pa.string()))
+
+        def half(t: pa.Table, parity: int) -> pa.Table:
+            return t.filter(pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), parity))
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        withsum = docs.map_batches(add_md5, batch_format="pyarrow").materialize()
+        even = withsum.map_batches(lambda t: half(t, 0), batch_format="pyarrow")
+        odd = withsum.map_batches(lambda t: half(t, 1), batch_format="pyarrow")
+        store_dir = f"/tmp/fancyrag_incdedup_{zlib.crc32(sf_dir.encode()):08x}"
+        shutil.rmtree(store_dir, ignore_errors=True)
+        dedup_against_store(
+            even.select_columns(["doc_id", "checksum"]), store_dir,
+            "checksum", "doc_id", ingest_key="runA",
+        )
+        fresh, _stats = dedup_against_store(
+            odd.select_columns(["doc_id", "checksum"]), store_dir, "checksum", "doc_id"
+        )
+        return fresh
+
     def approx_distinct_customers(sf_dir: str):
         """HLL approximate COUNT(DISTINCT o_custkey) — mergeable-sketch
         metrics (no SQL oracle: approximate by design; accuracy asserted
@@ -260,6 +298,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_ivf": S.knn_cosine_ivf,
         "knn_cosine_ivf_indexed": knn_cosine_ivf_indexed,
         "embedding_near_duplicates": S.embedding_near_duplicates,
+        # cross-run incremental dedup against a persistent seen-key store
+        "dedup_incremental_documents": dedup_incremental_documents,
         # near-dup dedup / sketches (no SQL oracle: iterative/approximate)
         "near_dup_minhash": near_dup_minhash,
         "near_dup_simhash": near_dup_simhash,
@@ -280,6 +320,7 @@ def oracle_sql() -> dict[str, str]:
     from fancyrag_ray.functions import relational as R
     from fancyrag_ray.functions import similarity as S
     from fancyrag_ray.functions import textops as T
+    from fancyrag_ray.pipelines.ingest_dedup import INGEST_DEDUP_SQL as _INGEST_DEDUP_SQL
 
     return {
         "pricing_summary": R.PRICING_SUMMARY_SQL,
@@ -324,4 +365,6 @@ def oracle_sql() -> dict[str, str]:
         # exact df-capped n-gram Jaccard near-dup (the deterministic
         # dedup-family member; minhash/simhash are probabilistic)
         "near_dup_ngram_jaccard": D.NGRAM_JACCARD_SQL,
+        # cross-run incremental dedup vs its two-half SQL mirror
+        "dedup_incremental_documents": _INGEST_DEDUP_SQL,
     }

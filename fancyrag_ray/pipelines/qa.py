@@ -69,12 +69,15 @@ def _anti_count(left: rd.Dataset, left_key: str, right: rd.Dataset, right_key: s
     keys_ds = right.select_columns([right_key]).materialize()
     n_right = keys_ds.count()
     if fits_broadcast(n_right, dataset_mean_row_bytes(keys_ds, n_right), budget):
-        keys = set(keys_ds.unique(right_key))
+        # one Arrow value_set per worker (closure ships once via the
+        # function store); pc.is_in is a vectorized hash-probe — the
+        # former per-row `v not in keys` Python loop cost O(left) calls
+        value_set = pa.array(keys_ds.unique(right_key))
 
         def f(t: pa.Table) -> pa.Table:
-            vals = t.column(left_key).to_pylist()
-            mask = pa.array([v not in keys for v in vals], pa.bool_())
-            return t.filter(mask)
+            col = t.column(left_key)
+            hit = pc.is_in(col, value_set=value_set.cast(col.type))
+            return t.filter(pc.invert(hit))
 
         return left.select_columns([left_key]).map_batches(f, batch_format="pyarrow").count()
     return left.join(

@@ -1,0 +1,142 @@
+"""Cross-run incremental dedup: SeenKeyStore + dedup_against_store.
+
+The contract under test: fresh = first-occurrence-per-key rows of the
+delta whose key no prior ingest committed; reads prune to delta-touched
+buckets; ingests are idempotent, rewrite only touched buckets, and
+commit atomically."""
+
+import hashlib
+import os
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from fancyrag_ray.pipelines.ingest_dedup import SeenKeyStore, dedup_against_store
+
+
+def _docs(texts, start=0):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": list(range(start, start + len(texts))),
+                "text": list(texts),
+                "checksum": [hashlib.md5(t.encode()).hexdigest() for t in texts],
+            }
+        )
+    )
+
+
+class TestFilterFresh:
+    def test_cross_run_and_within_delta_dedup(self, ray_session, tmp_path):
+        store = str(tmp_path / "store")
+        run_a = _docs([f"t{i % 6}" for i in range(10)])  # keys t0..t5
+        fresh_a, _ = dedup_against_store(run_a, store, "checksum", "doc_id", ingest_key="a")
+        fa = fresh_a.to_pandas().sort_values("doc_id")
+        assert sorted(fa["text"]) == [f"t{i}" for i in range(6)]
+        # within-delta keep-first: t0 planted at doc_id 0 and 6 → 0 survives
+        assert list(fa["doc_id"]) == [0, 1, 2, 3, 4, 5]
+
+        run_b = _docs([f"t{i % 8}" for i in range(4, 16)], start=100)  # keys t0..t7
+        fresh_b, _ = dedup_against_store(run_b, store, "checksum", "doc_id", ingest_key="b")
+        fb = fresh_b.to_pandas()
+        assert sorted(fb["text"]) == ["t6", "t7"]
+
+    def test_matches_naive_reference(self, ray_session, tmp_path):
+        store = str(tmp_path / "store")
+        texts_a = [f"doc {i % 37}" for i in range(200)]
+        texts_b = [f"doc {i % 53}" for i in range(200)]
+        dedup_against_store(_docs(texts_a), store, "checksum", "doc_id", ingest_key="a")
+        fresh, _ = dedup_against_store(_docs(texts_b, start=1000), store, "checksum", "doc_id")
+        got = sorted(fresh.to_pandas()["text"])
+        seen = set(texts_a)
+        want, within = [], set()
+        for t in texts_b:
+            if t not in seen and t not in within:
+                want.append(t)
+                within.add(t)
+        assert got == sorted(want)
+
+    def test_empty_store_and_duplicate_free_delta(self, ray_session, tmp_path):
+        store = str(tmp_path / "store")
+        fresh, stats = dedup_against_store(
+            _docs([f"u{i}" for i in range(8)]), store, "checksum", "doc_id"
+        )
+        assert fresh.count() == 8  # Dataset return type: .count() works
+        assert stats["buckets_read"] == 0  # nothing ingested yet
+
+    def test_all_duplicate_delta_returns_empty_dataset(self, ray_session, tmp_path):
+        store = str(tmp_path / "store")
+        docs = _docs(["x", "y"])
+        dedup_against_store(docs, store, "checksum", "doc_id", ingest_key="a")
+        fresh, _ = dedup_against_store(docs, store, "checksum", "doc_id")
+        assert fresh.count() == 0
+
+
+class TestStoreMechanics:
+    def test_bucket_pruned_reads(self, ray_session, tmp_path):
+        store_dir = str(tmp_path / "store")
+        # big seed spread over many buckets, tiny delta → few buckets read
+        dedup_against_store(
+            _docs([f"seed {i}" for i in range(500)]), store_dir, "checksum", "doc_id",
+            ingest_key="seed",
+        )
+        store = SeenKeyStore(store_dir, key_col="checksum")
+        fresh = store.filter_fresh(_docs(["seed 3", "brand new"], start=900), order_col="doc_id")
+        assert sorted(fresh.to_pandas()["text"]) == ["brand new"]
+        assert 0 < store.last_stats["buckets_read"] <= 2
+        assert store.last_stats["buckets_total"] == 64
+
+    def test_ingest_idempotent_and_touched_only(self, ray_session, tmp_path):
+        store_dir = str(tmp_path / "store")
+        _, s1 = dedup_against_store(
+            _docs([f"a{i}" for i in range(100)]), store_dir, "checksum", "doc_id",
+            ingest_key="run1",
+        )
+        assert s1["ingest"]["status"] == "ingested"
+        n_buckets_v1 = s1["ingest"]["stats"]["touched"]
+        # second run touches few buckets; the rest must be carried, not rewritten
+        _, s2 = dedup_against_store(
+            _docs(["one new doc"], start=500), store_dir, "checksum", "doc_id",
+            ingest_key="run2",
+        )
+        assert s2["ingest"]["stats"]["touched"] == 1
+        # every v1 bucket except (at most) the one the new key hashes into
+        # is carried by hardlink, not rewritten
+        assert s2["ingest"]["stats"]["untouched"] >= n_buckets_v1 - 1
+        # idempotent replay: journaled key is a no-op
+        _, s3 = dedup_against_store(
+            _docs(["one new doc"], start=500), store_dir, "checksum", "doc_id",
+            ingest_key="run2",
+        )
+        assert s3["ingest"]["status"] == "already_ingested"
+
+    def test_zero_fresh_ingest_is_all_hardlinks(self, ray_session, tmp_path):
+        store_dir = str(tmp_path / "store")
+        docs = _docs([f"z{i}" for i in range(20)])
+        dedup_against_store(docs, store_dir, "checksum", "doc_id", ingest_key="r1")
+        _, s2 = dedup_against_store(docs, store_dir, "checksum", "doc_id", ingest_key="r2")
+        assert s2["ingest"]["stats"]["touched"] == 0
+        # the store still answers correctly after the no-data version bump
+        store = SeenKeyStore(store_dir, key_col="checksum")
+        fresh = store.filter_fresh(_docs(["z0", "fresh"], start=800), order_col="doc_id")
+        assert sorted(fresh.to_pandas()["text"]) == ["fresh"]
+
+    def test_layout_mismatch_rejected(self, ray_session, tmp_path):
+        store_dir = str(tmp_path / "store")
+        dedup_against_store(_docs(["a"]), store_dir, "checksum", "doc_id", ingest_key="r1")
+        with pytest.raises(ValueError, match="layout"):
+            SeenKeyStore(store_dir, key_col="checksum", n_buckets=128)
+        with pytest.raises(ValueError, match="layout"):
+            SeenKeyStore(store_dir, key_col="text")
+
+    def test_current_pointer_survives_crashed_staging(self, ray_session, tmp_path):
+        store_dir = str(tmp_path / "store")
+        dedup_against_store(_docs(["a", "b"]), store_dir, "checksum", "doc_id", ingest_key="r1")
+        store = SeenKeyStore(store_dir, key_col="checksum")
+        v1 = store.current_dir()
+        # simulate a crashed attempt: stale staging dir must not be read
+        os.makedirs(os.path.join(store_dir, "versions", ".staging-v00002"), exist_ok=True)
+        assert SeenKeyStore(store_dir, key_col="checksum").current_dir() == v1
+        fresh = store.filter_fresh(_docs(["a", "c"], start=10), order_col="doc_id")
+        assert sorted(fresh.to_pandas()["text"]) == ["c"]
