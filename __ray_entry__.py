@@ -142,6 +142,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def approx_price_quantiles(sf_dir: str):
+        """KLL quantile sketch over orders.o_totalprice — the continuous-
+        domain quantile path (one ≤k·levels-float summary per block; rows
+        never shuffle). No SQL oracle: approximate by design; ≤1% rank
+        error asserted vs exact in tests/test_sketches.py."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from fancyrag_ray.functions.sketches import approx_quantiles
+
+        ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+        out = approx_quantiles(ds, "o_totalprice", [0.25, 0.5, 0.75, 0.99])
+        qs_sorted = sorted(out)
+        return pa.table(
+            {
+                "q": pa.array(qs_sorted, pa.float64()),
+                "approx_totalprice": pa.array([out[q] for q in qs_sorted], pa.float64()),
+            }
+        )
+
     def kg_llm_extract_triples(sf_dir: str):
         """A3 LLM-backed extraction end-to-end over driver documents: the
         deterministic fake transport drives the full actor-pool path
@@ -306,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_ngram_jaccard": near_dup_ngram_jaccard,
         "approx_distinct_customers": approx_distinct_customers,
         "approx_top_sources": approx_top_sources,
+        "approx_price_quantiles": approx_price_quantiles,
         # flagship end-to-end on driver data (no SQL oracle: multi-stage)
         "kg_flagship_edges": kg_flagship_edges,
         "kg_llm_extract_triples": kg_llm_extract_triples,

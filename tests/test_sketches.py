@@ -112,3 +112,71 @@ class TestMisraGries:
         top = approx_heavy_hitters(ds, "v", k=16, top=2)
         assert [t[0] for t in top] == [7, 13]
         assert all(isinstance(t[0], int) for t in top)
+
+
+class TestKllQuantiles:
+    def test_rank_error_and_weight_conservation(self):
+        import numpy as np
+
+        from fancyrag_ray.functions.sketches import KllSketch
+
+        rng = np.random.default_rng(7)
+        data = rng.lognormal(3, 1.5, 400_000)
+        s = KllSketch(256, 42)
+        for chunk in np.array_split(data, 16):
+            s.extend(chunk)
+        assert s.total_weight == len(data)  # odd-buffer survivors conserve weight
+        srt = np.sort(data)
+        for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+            est = s.quantile(q)
+            rank = np.searchsorted(srt, est) / len(data)
+            assert abs(rank - q) <= 0.01, (q, est, rank)
+        # retained size is O(k log(n/k)), nowhere near n
+        assert sum(len(b) for b in s.levels) < 16 * 256
+
+    def test_extremes_exact_and_merge(self):
+        import numpy as np
+
+        from fancyrag_ray.functions.sketches import KllSketch
+
+        rng = np.random.default_rng(11)
+        data = rng.normal(0, 100, 200_000)
+        parts = [KllSketch(256, 42) for _ in range(8)]
+        for p, chunk in zip(parts, np.array_split(data, 8)):
+            p.extend(chunk)
+        m = parts[0]
+        for p in parts[1:]:
+            m.merge(p)
+        assert m.total_weight == len(data)
+        assert m.quantile(0.0) == data.min()
+        assert m.quantile(1.0) == data.max()
+        srt = np.sort(data)
+        for q in (0.1, 0.5, 0.9):
+            rank = np.searchsorted(srt, m.quantile(q)) / len(data)
+            assert abs(rank - q) <= 0.01
+
+    def test_distributed_approx_quantiles(self, ray_session):
+        import numpy as np
+
+        from fancyrag_ray.functions.sketches import approx_quantiles
+
+        rng = np.random.default_rng(3)
+        data = rng.exponential(50.0, 150_000)
+        ds = rd.from_arrow(pa.table({"v": data})).repartition(12)
+        out = approx_quantiles(ds, "v", [0.25, 0.5, 0.95])
+        srt = np.sort(data)
+        for q, est in out.items():
+            rank = np.searchsorted(srt, est) / len(data)
+            assert abs(rank - q) <= 0.01, (q, est, rank)
+
+    def test_empty_and_nan_inputs(self, ray_session):
+        import math
+
+        from fancyrag_ray.functions.sketches import approx_quantiles
+
+        ds = rd.from_arrow(pa.table({"v": pa.array([], pa.float64())}))
+        out = approx_quantiles(ds, "v", [0.5])
+        assert math.isnan(out[0.5])
+        ds2 = rd.from_arrow(pa.table({"v": pa.array([float("nan"), 1.0, 2.0, 3.0])}))
+        out2 = approx_quantiles(ds2, "v", [0.5])
+        assert 1.0 <= out2[0.5] <= 3.0  # NaNs dropped, not propagated
