@@ -237,16 +237,16 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
 def customers_without_orders(sf_dir: str, min_total: float = 300000.0) -> rd.Dataset:
     """Anti-join (QA orphan-count parity, SURVEY §2.4): customers with no
     order above ``min_total`` (filtered right side pushed before the
-    shuffle)."""
+    shuffle), through the shared tier ladder (broadcast value_set →
+    Bloom prefilter → hash left_anti)."""
+    from ..util import tiered_anti_join
+
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
         lambda t: t.filter(pc.greater(t.column("o_totalprice"), pa.scalar(min_total))).select(["o_custkey"]),
         batch_format="pyarrow",
     )
-    return cust.join(
-        orders, join_type="left_anti", num_partitions=adaptive_partitions(8),
-        on=("c_custkey",), right_on=("o_custkey",),
-    )
+    return tiered_anti_join(cust, "c_custkey", orders, "o_custkey")
 
 
 CUSTOMERS_WITHOUT_ORDERS_SQL = """

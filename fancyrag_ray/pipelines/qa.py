@@ -58,31 +58,14 @@ class QaMetrics:
 
 def _anti_count(left: rd.Dataset, left_key: str, right: rd.Dataset, right_key: str,
                 broadcast_budget_bytes: int | None = None) -> int:
-    """Count left rows with no right match. Right key column within the
-    broadcast BYTE budget (rows × mean width, ``util.fits_broadcast``) →
-    broadcast key set filtered inside map_batches (no shuffle); larger →
-    hash left_anti join. The key column is materialized once so the
-    size/count probe and the consumption don't re-execute its lineage."""
-    from ..util import BROADCAST_BUDGET_BYTES, dataset_mean_row_bytes, fits_broadcast
+    """Count left rows with no right match, via the shared three-tier
+    anti-join (broadcast value_set → Bloom prefilter + exact verify →
+    hash left_anti join), sized by ``util.fits_broadcast``'s byte budget."""
+    from ..util import tiered_anti_join
 
-    budget = BROADCAST_BUDGET_BYTES if broadcast_budget_bytes is None else broadcast_budget_bytes
-    keys_ds = right.select_columns([right_key]).materialize()
-    n_right = keys_ds.count()
-    if fits_broadcast(n_right, dataset_mean_row_bytes(keys_ds, n_right), budget):
-        # one Arrow value_set per worker (closure ships once via the
-        # function store); pc.is_in is a vectorized hash-probe — the
-        # former per-row `v not in keys` Python loop cost O(left) calls
-        value_set = pa.array(keys_ds.unique(right_key))
-
-        def f(t: pa.Table) -> pa.Table:
-            col = t.column(left_key)
-            hit = pc.is_in(col, value_set=value_set.cast(col.type))
-            return t.filter(pc.invert(hit))
-
-        return left.select_columns([left_key]).map_batches(f, batch_format="pyarrow").count()
-    return left.join(
-        keys_ds, join_type="left_anti", num_partitions=adaptive_partitions(32),
-        on=(left_key,), right_on=(right_key,)
+    return tiered_anti_join(
+        left.select_columns([left_key]), left_key, right, right_key,
+        broadcast_budget_bytes=broadcast_budget_bytes,
     ).count()
 
 

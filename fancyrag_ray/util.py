@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -111,3 +113,81 @@ def adaptive_partitions(requested: int, minimum: int = 2, n_rows: int | None = N
         parts = min(max(parts, want), max(cpus, minimum))
         parts = min(parts, max(1, n_rows // MIN_ROWS_PER_PARTITION))
     return parts
+
+
+def tiered_anti_join(
+    left: rd.Dataset,
+    left_key: str,
+    right: rd.Dataset,
+    right_key: str,
+    broadcast_budget_bytes: int | None = None,
+    bits_per_key: int = 10,
+) -> rd.Dataset:
+    """Left rows with no right-key match — EXACT at every tier, sized to
+    the right side:
+
+    1. right keys fit the broadcast byte budget → Arrow value_set probed
+       with ``pc.is_in`` inside map_batches; nothing shuffles.
+    2. keys don't fit but their Bloom bitmap does (~50× smaller at 10
+       bits/key, so this tier reaches ~2 orders of magnitude further) →
+       bloom-NEGATIVE left rows are definite non-matches and never
+       shuffle; only the ~fp·|left| + true-match remainder takes the
+       exact ``left_anti`` join that removes false positives.
+    3. both over budget → plain hash ``left_anti`` join.
+
+    In anti-join-heavy shapes (dedup against a store, orphan checks)
+    most of the left side is a definite negative, so tier 2 removes most
+    of the all-to-all exchange that tier 3 would pay.
+    """
+    budget = BROADCAST_BUDGET_BYTES if broadcast_budget_bytes is None else broadcast_budget_bytes
+    keys_ds = right.select_columns([right_key]).materialize()
+    n_right = keys_ds.count()
+    if n_right == 0:
+        return left
+    n_left = left.count()
+
+    if fits_broadcast(n_right, dataset_mean_row_bytes(keys_ds, n_right), budget):
+        value_set = pa.array(keys_ds.unique(right_key))
+
+        def anti(t: pa.Table) -> pa.Table:
+            col = t.column(left_key)
+            return t.filter(pc.invert(pc.is_in(col, value_set=value_set.cast(col.type))))
+
+        return left.map_batches(anti, batch_format="pyarrow")
+
+    if n_right * bits_per_key / 8 <= budget:
+        from .functions.sketches import BloomFilter, _hash_column, build_bloom
+
+        bloom = build_bloom(keys_ds, right_key, n_right, bits_per_key)
+        bits_ref = ray.put(bloom.bits)
+        m, k = bloom.m, bloom.k
+
+        def flag(t: pa.Table) -> pa.Table:
+            b = BloomFilter.__new__(BloomFilter)
+            b.m, b.k, b.bits = m, k, ray.get(bits_ref)
+            maybe = b.might_contain_hashes(_hash_column(t.column(left_key)))
+            return t.append_column("__maybe", pa.array(maybe, pa.bool_()))
+
+        flagged = left.map_batches(flag, batch_format="pyarrow").materialize()
+        definite = flagged.map_batches(
+            lambda t: t.filter(pc.invert(t.column("__maybe"))).drop_columns(["__maybe"]),
+            batch_format="pyarrow",
+        )
+        maybe_rows = flagged.map_batches(
+            lambda t: t.filter(t.column("__maybe")).drop_columns(["__maybe"]),
+            batch_format="pyarrow",
+        ).materialize()
+        if maybe_rows.count() == 0:
+            return definite
+        verified = maybe_rows.join(
+            keys_ds, join_type="left_anti",
+            num_partitions=adaptive_partitions(16, n_rows=maybe_rows.count()),
+            on=(left_key,), right_on=(right_key,),
+        )
+        return definite.union(verified)
+
+    return left.join(
+        keys_ds, join_type="left_anti",
+        num_partitions=adaptive_partitions(16, n_rows=n_left),
+        on=(left_key,), right_on=(right_key,),
+    )
