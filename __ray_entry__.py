@@ -310,6 +310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooccurrence_edges": T.cooccurrence_edges,
         "dedup_exact": T.dedup_exact,
         "quality_scores": T.quality_scores,
+        "tfidf_top_terms": T.tfidf_top_terms,
         "doc_rollup": T.doc_rollup,
         "sample_documents_hash": T.sample_documents_hash,
         # similarity search
@@ -375,6 +376,7 @@ def oracle_sql() -> dict[str, str]:
         "cooccurrence_edges": T.COOCCURRENCE_EDGES_SQL,
         "dedup_exact": T.DEDUP_EXACT_SQL,
         "quality_scores": T.QUALITY_SCORES_SQL,
+        "tfidf_top_terms": T.TFIDF_TOP_TERMS_SQL,
         "doc_rollup": T.DOC_ROLLUP_SQL,
         "sample_documents_hash": T.SAMPLE_DOCUMENTS_HASH_SQL,
         "knn_cosine": S.KNN_COSINE_SQL,

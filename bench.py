@@ -289,6 +289,10 @@ def main() -> None:
                     jaccard_threshold=0.8,
                 )
             ),
+            "tfidf_top_terms": timed(T.tfidf_top_terms),
+            "dedup_incremental_documents": timed(
+                __import__("__ray_entry__").queries()["dedup_incremental_documents"]
+            ),
         }
 
     print(json.dumps({

@@ -384,3 +384,120 @@ SELECT doc_id, n_chars,
        CAST(CEIL(GREATEST(1, LENGTH(text) - 100) / 500.0) AS BIGINT) AS n_chunks
 FROM documents
 """
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 5) -> rd.Dataset:
+    """Top-``k`` discriminative terms per document by tf·idf over the
+    whole corpus (text-analysis extension; reference has no corpus
+    statistics — its retrieval scoring is Lucene-side, runtime.py:34-38).
+
+    Scale shape: term frequencies are block-final (a document is one
+    row, so its tokens never straddle blocks — no tf shuffle at all);
+    document frequency reduces through partial per-block counts and one
+    hash co-partition over the VOCABULARY (≪ corpus); the df lookup
+    broadcasts under the byte budget or hash-joins above it; final
+    per-doc ranking reuses ``grouped_topk``'s bounded-shuffle prune.
+
+    Scoring uses the rational idf variant tf·N/df — one multiply and one
+    correctly-rounded divide, so the doubles are bit-identical to the
+    SQL oracle (ln() would drift across libm implementations). Ordering
+    equals classic tf·ln(N/df) per doc whenever candidates differ in
+    (tf, df), since x→ln is monotone in N/df and tf scales both."""
+    import numpy as np
+
+    from ..util import (
+        adaptive_partitions,
+        dataset_mean_row_bytes,
+        fits_broadcast,
+        hash_partitioned_combine,
+    )
+    from .analytics import grouped_topk
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    n_docs = float(docs.count())
+
+    def tf_block(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column("text"), " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        ids = np.repeat(t.column("doc_id").to_numpy(zero_copy_only=False), lens)
+        pairs = pa.table({"doc_id": pa.array(ids), "term": flat})
+        pairs = pairs.filter(pc.not_equal(pairs.column("term"), pa.scalar("")))
+        g = pairs.append_column("ones", pa.array(np.ones(pairs.num_rows, np.int64)))
+        out = g.group_by(["doc_id", "term"]).aggregate([("ones", "sum")])
+        return out.rename_columns(["doc_id", "term", "tf"])
+
+    tf = docs.map_batches(tf_block, batch_format="pyarrow", batch_size=None).materialize()
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        g = t.append_column("ones", pa.array(np.ones(t.num_rows, np.int64)))
+        out = g.group_by(["term"]).aggregate([("ones", "sum")])
+        return out.rename_columns(["term", "df"])
+
+    def df_combine(t: pa.Table) -> pa.Table:
+        out = t.group_by(["term"]).aggregate([("df", "sum")])
+        return out.rename_columns(["term", "df"])
+
+    partials = tf.map_batches(df_partial, batch_format="pyarrow", batch_size=None)
+    n_tf = tf.count()
+    df = hash_partitioned_combine(
+        partials, ["term"], df_combine, adaptive_partitions(16, n_rows=n_tf)
+    ).materialize()
+    n_vocab = df.count()
+
+    if fits_broadcast(n_vocab, dataset_mean_row_bytes(df, n_vocab)):
+        import ray as _ray
+
+        df_map = {}
+        for b in df.iter_batches(batch_format="pyarrow"):
+            df_map.update(zip(b.column("term").to_pylist(), b.column("df").to_pylist()))
+        df_map_ref = _ray.put(df_map)
+
+        def score(t: pa.Table) -> pa.Table:
+            m = _ray.get(df_map_ref)
+            dfs = np.array([m[x] for x in t.column("term").to_pylist()], np.float64)
+            tfs = t.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+            return t.append_column("tfidf", pa.array(tfs * n_docs / dfs, pa.float64()))
+
+        scored = tf.map_batches(score, batch_format="pyarrow")
+    else:
+        joined = tf.join(
+            df, join_type="inner",
+            num_partitions=adaptive_partitions(16, n_rows=n_tf),
+            on=("term",),
+        )
+        scored = joined.map_batches(
+            lambda t: t.append_column(
+                "tfidf",
+                pc.divide(
+                    pc.multiply(pc.cast(t.column("tf"), pa.float64()), pa.scalar(n_docs)),
+                    pc.cast(t.column("df"), pa.float64()),
+                ),
+            ).drop_columns(["df"]),
+            batch_format="pyarrow",
+        )
+
+    top = grouped_topk(
+        scored, by="doc_id", order_col="tfidf", k=k, tiebreak="term",
+        num_partitions=adaptive_partitions(16, n_rows=n_tf),
+    )
+    return top.drop_columns(["tf", "rk"])
+
+
+TFIDF_TOP_TERMS_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok WHERE term <> '' GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), total AS (SELECT count(*)::DOUBLE AS n FROM documents)
+SELECT doc_id, term, tfidf FROM (
+  SELECT tf.doc_id, tf.term,
+         tf.tf::DOUBLE * (SELECT n FROM total) / df.df::DOUBLE AS tfidf,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id ORDER BY tf.tf::DOUBLE * (SELECT n FROM total) / df.df::DOUBLE DESC, tf.term ASC
+         ) AS rn
+  FROM tf JOIN df USING (term)
+) WHERE rn <= 5
+"""

@@ -688,3 +688,44 @@ class TestCcDriverLimit:
         )
         with pytest.raises(RuntimeError):
             connected_components(edges, driver_threshold=1, driver_node_limit=2)
+
+
+class TestTfidfTopTerms:
+    def test_matches_manual_tfidf(self, ray_session, tmp_path):
+        """tf·N/df scoring + (score desc, term asc) top-k vs a pure-Python
+        reference on a corpus with distinctive singleton terms."""
+        import math
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from fancyrag_ray.functions.textops import tfidf_top_terms
+
+        texts = [
+            "apple banana apple cherry",
+            "banana cherry cherry date",
+            "apple date date date elderberry",
+            "fig fig banana",
+        ]
+        t = pa.table({"doc_id": list(range(len(texts))), "text": texts,
+                      "lang": ["en"] * 4, "source": ["s"] * 4,
+                      "n_chars": [len(x) for x in texts]})
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(t, str(d / "documents.parquet"))
+
+        out = tfidf_top_terms(str(d), k=2).to_pandas()
+        n = float(len(texts))
+        tf = [Counter(x.split()) for x in texts]
+        df = Counter()
+        for c in tf:
+            df.update(c.keys())
+        for doc_id, grp in out.groupby("doc_id"):
+            scored = sorted(
+                ((tf[doc_id][w] * n / df[w], w) for w in tf[doc_id]),
+                key=lambda p: (-p[0], p[1]),
+            )[:2]
+            got = list(zip(grp.sort_values(["tfidf", "term"], ascending=[False, True])["tfidf"],
+                           grp.sort_values(["tfidf", "term"], ascending=[False, True])["term"]))
+            assert [w for _, w in scored] == [w for _, w in got]
+            assert all(math.isclose(a, b) for (a, _), (b, _) in zip(scored, got))
