@@ -162,6 +162,22 @@ def run_kg_build(
     return KgBuildResult(chunks, embeddings, triples, linked, nodes, edges)
 
 
+def _append_doc_key(t: pa.Table) -> pa.Table:
+    """Content key per document: sha256 over the ordered span sequence
+    (kind, text, media_ref) — the per-row invariant fields — so a
+    re-crawled doc with identical content keys identically regardless of
+    which dump/partition it arrives in."""
+    import hashlib
+
+    keys = []
+    for spans in t.column("spans").to_pylist():
+        h = hashlib.sha256()
+        for s in spans or []:
+            h.update(f"{s.get('kind')}\x1f{s.get('text')}\x1f{s.get('media_ref')}\x1e".encode())
+        keys.append(h.hexdigest())
+    return t.append_column("doc_key", pa.array(keys, pa.string()))
+
+
 def run_partition(
     docs_file: str,
     out_dir: str,
@@ -169,6 +185,7 @@ def run_partition(
     cfg: PipelineConfig,
     schema: GraphSchema = DEFAULT_SCHEMA,
     alias_table: pa.Table | None = None,
+    seen_store=None,
 ) -> dict[str, int]:
     """Per-document phase for ONE input partition (file/fragment): chunk,
     embed, extract, link; outputs land under ``{out_dir}/{table}/{pid}/``.
@@ -185,8 +202,36 @@ def run_partition(
     docs = read_table(docs_file)
     tmp_root = os.path.join(out_dir, "_tmp", partition_id)
     shutil.rmtree(tmp_root, ignore_errors=True)
-    tmp = {t: os.path.join(tmp_root, t) for t in ("chunks", "embeddings", "linked")}
+    tables = ("chunks", "embeddings", "linked") + (("dockeys",) if seen_store is not None else ())
+    tmp = {t: os.path.join(tmp_root, t) for t in tables}
     final = {t: os.path.join(out_dir, t, partition_id) for t in tmp}
+
+    n_skipped = 0
+    if seen_store is not None:
+        # cross-run dedup BEFORE the expensive stages (embed/extract):
+        # already-seen content costs a bucket-pruned key lookup, nothing
+        # more. The fresh keys are persisted with the partition and
+        # ingested by the caller AFTER the manifest commit (idempotent
+        # under the partition id), so a crash between the two heals.
+        n_in = docs.count()
+        keyed = docs.map_batches(_append_doc_key, batch_format="pyarrow")
+        fresh = keyed if n_in == 0 else seen_store.filter_fresh(keyed, order_col="doc_id").materialize()
+        n_fresh = fresh.count()
+        n_skipped = n_in - n_fresh
+        if n_fresh == 0:
+            # every doc already ingested: commit empty table dirs so the
+            # rename/manifest protocol and the global-phase glob (which
+            # tolerates file-less partition dirs) proceed unchanged
+            for t in tables:
+                os.makedirs(tmp[t], exist_ok=True)
+            for t in tmp:
+                shutil.rmtree(final[t], ignore_errors=True)
+                os.makedirs(os.path.dirname(final[t]), exist_ok=True)
+                os.rename(tmp[t], final[t])
+            shutil.rmtree(tmp_root, ignore_errors=True)
+            return {"chunks": 0, "linked": 0, "docs_skipped": n_skipped}
+        write_table(fresh.select_columns(["doc_key"]), tmp["dockeys"])
+        docs = fresh.drop_columns(["doc_key"])
 
     chunks = build_chunks(docs, cfg)
     write_table(chunks, tmp["chunks"])
@@ -198,6 +243,7 @@ def run_partition(
     counts = {
         "chunks": read_table(tmp["chunks"]).count(),
         "linked": read_table(tmp["linked"]).count(),
+        "docs_skipped": n_skipped,
     }
     for t in tmp:
         shutil.rmtree(final[t], ignore_errors=True)  # stale partial from a crashed run
@@ -291,44 +337,80 @@ def run_kg_build_resumable(
     schema: GraphSchema = DEFAULT_SCHEMA,
     alias_table: pa.Table | None = None,
     fail_after: int | None = None,
+    seen_store_dir: str | None = None,
 ) -> dict:
     """Partitioned, checkpointed build: one partition per input file (at
     scale: per Lance fragment). Completed partitions are recorded in a
     lineage manifest and skipped on re-run; the global graph phase runs
     over the union of all partition outputs. ``fail_after`` aborts after
-    that many partitions (test hook for kill/resume)."""
+    that many partitions (test hook for kill/resume).
+
+    ``seen_store_dir`` enables CROSS-RUN content dedup: each partition's
+    docs are filtered against a persistent ``SeenKeyStore`` of span-
+    sequence checksums before chunk/embed/extract, and the fresh keys
+    are ingested under the partition id after its manifest commit (a
+    crash between commit and ingest heals on resume — the un-journaled
+    partition re-ingests its persisted dockeys, a no-op for the data)."""
     cfg = cfg or PipelineConfig()
     if not docs_files:
         # S4 parity (reference phases.py:117-177): discovering nothing is
         # an error, not an empty success
         raise ValueError("no source partitions matched — nothing to ingest")
+    seen_store = None
+    if seen_store_dir is not None:
+        from .ingest_dedup import SeenKeyStore
+
+        seen_store = SeenKeyStore(seen_store_dir, key_col="doc_key")
     manifest = Manifest(os.path.join(out_dir, "manifest.jsonl"))
     partitions = [(f"p{idx:05d}", f) for idx, f in enumerate(docs_files)]
     pending = manifest.pending([p for p, _ in partitions])
     done_count = 0
     skipped = len(partitions) - len(pending)
+    def _ingest_dockeys(pid: str) -> None:
+        """Journal a completed partition's fresh keys (idempotent; also
+        heals a crash that landed between manifest commit and ingest)."""
+        if seen_store is None or pid in seen_store.ingested_keys():
+            return
+        keys_dir = os.path.join(out_dir, "dockeys", pid)
+        import glob as _glob
+
+        if _glob.glob(os.path.join(keys_dir, "**", "*.parquet"), recursive=True):
+            keys_ds = read_table(keys_dir)
+        else:  # zero-fresh partition: journal the pid with no data
+            keys_ds = rd.from_arrow(pa.table({"doc_key": pa.array([], pa.string())}))
+        seen_store.ingest(keys_ds, ingest_key=pid)
+
     for pid, path in partitions:
         if pid not in pending:
+            _ingest_dockeys(pid)  # heal commit→ingest crash on resume
             continue
         if fail_after is not None and done_count >= fail_after:
             return {"status": "aborted", "completed": skipped + done_count, "total": len(partitions)}
-        counts = run_partition(path, out_dir, pid, cfg, schema, alias_table)
+        counts = run_partition(path, out_dir, pid, cfg, schema, alias_table, seen_store=seen_store)
         manifest.commit(PartitionRecord(partition_id=pid, status="done", rows=counts["chunks"], extra=counts))
+        _ingest_dockeys(pid)
         done_count += 1
 
     # Global phase over all completed partition outputs. The global
     # tables are derived (recomputed on every run, including resume), so
     # clear them first — write_parquet APPENDS part files and a re-run
     # would otherwise double every node/edge row.
+    import glob as _glob
     import shutil
 
-    linked = read_table(os.path.join(out_dir, "linked"))
-    nodes = nodes_from_linked_triples(linked)
-    edges = edges_from_linked_triples(linked)
     for t in ("nodes", "edges"):
         shutil.rmtree(os.path.join(out_dir, t), ignore_errors=True)
-    write_table(nodes, os.path.join(out_dir, "nodes"))
-    write_table(edges, os.path.join(out_dir, "edges"))
+    if _glob.glob(os.path.join(out_dir, "linked", "**", "*.parquet"), recursive=True):
+        linked = read_table(os.path.join(out_dir, "linked"))
+        nodes = nodes_from_linked_triples(linked)
+        edges = edges_from_linked_triples(linked)
+        write_table(nodes, os.path.join(out_dir, "nodes"))
+        write_table(edges, os.path.join(out_dir, "edges"))
+    else:
+        # a seen-store run where EVERY doc was already ingested: the
+        # graph phase has no rows — commit empty table dirs, not a crash
+        for t in ("nodes", "edges"):
+            os.makedirs(os.path.join(out_dir, t), exist_ok=True)
     result = {
         "status": "done",
         "completed": skipped + done_count,

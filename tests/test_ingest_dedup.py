@@ -140,3 +140,109 @@ class TestStoreMechanics:
         assert SeenKeyStore(store_dir, key_col="checksum").current_dir() == v1
         fresh = store.filter_fresh(_docs(["a", "c"], start=10), order_col="doc_id")
         assert sorted(fresh.to_pandas()["text"]) == ["c"]
+
+
+class TestResumableSeenStore:
+    """run_kg_build_resumable(seen_store_dir=...): cross-run content
+    dedup composed with partition checkpointing."""
+
+    def _files(self, tmp_path, corpus, name, parts=2):
+        import pyarrow.parquet as pq
+
+        docs = corpus.documents
+        half = docs.num_rows // parts
+        out = []
+        for i in range(parts):
+            p = str(tmp_path / f"{name}_{i}.parquet")
+            sl = docs.slice(i * half, half if i < parts - 1 else docs.num_rows - i * half)
+            pq.write_table(sl, p)
+            out.append(p)
+        return out
+
+    def test_second_identical_run_skips_everything(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from fancyrag_ray.config import PipelineConfig
+        from fancyrag_ray.fixtures import generate_corpus
+        from fancyrag_ray.pipelines.kg_build import run_kg_build_resumable
+
+        corpus = generate_corpus(60, seed=7)
+        files = self._files(tmp_path, corpus, "a")
+        store = str(tmp_path / "seen")
+        cfg = PipelineConfig(embed_dim=16)
+
+        r1 = run_kg_build_resumable(files, str(tmp_path / "out1"), cfg=cfg,
+                                    alias_table=corpus.aliases, seen_store_dir=store)
+        assert r1["status"] == "done"
+        n1 = rd.read_parquet(str(tmp_path / "out1" / "linked")).count()
+        assert n1 > 0
+
+        # same corpus, NEW out_dir, same store → all docs skipped,
+        # empty-but-committed outputs, no crash
+        r2 = run_kg_build_resumable(files, str(tmp_path / "out2"), cfg=cfg,
+                                    alias_table=corpus.aliases, seen_store_dir=store)
+        assert r2["status"] == "done"
+        import glob
+        assert glob.glob(str(tmp_path / "out2" / "linked" / "**" / "*.parquet"), recursive=True) == []
+
+    def test_overlapping_second_run_processes_only_new_docs(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from fancyrag_ray.config import PipelineConfig
+        from fancyrag_ray.fixtures import generate_corpus
+        from fancyrag_ray.pipelines.kg_build import run_kg_build_resumable
+
+        big = generate_corpus(80, seed=7)
+        cfg = PipelineConfig(embed_dim=16)
+        store = str(tmp_path / "seen")
+
+        first = big.documents.slice(0, 50)
+        second = big.documents.slice(30)  # docs 30-49 overlap, 50-79 new
+        f1 = str(tmp_path / "first.parquet"); pq.write_table(first, f1)
+        f2 = str(tmp_path / "second.parquet"); pq.write_table(second, f2)
+
+        run_kg_build_resumable([f1], str(tmp_path / "o1"), cfg=cfg,
+                               alias_table=big.aliases, seen_store_dir=store)
+        r2 = run_kg_build_resumable([f2], str(tmp_path / "o2"), cfg=cfg,
+                                    alias_table=big.aliases, seen_store_dir=store)
+        assert r2["status"] == "done"
+        chunks2 = rd.read_parquet(str(tmp_path / "o2" / "chunks")).to_pandas()
+        new_ids = set(big.documents.slice(50).column("doc_id").to_pylist())
+        assert set(chunks2["doc_id"]) == new_ids  # only the 30 unseen docs
+
+    def test_crash_between_commit_and_ingest_heals(self, ray_session, tmp_path):
+        import json
+        import os
+
+        import ray.data as rd
+
+        from fancyrag_ray.config import PipelineConfig
+        from fancyrag_ray.fixtures import generate_corpus
+        from fancyrag_ray.pipelines.ingest_dedup import SeenKeyStore
+        from fancyrag_ray.pipelines.kg_build import run_kg_build_resumable
+
+        corpus = generate_corpus(40, seed=7)
+        files = self._files(tmp_path, corpus, "a")
+        store_dir = str(tmp_path / "seen")
+        cfg = PipelineConfig(embed_dim=16)
+        out = str(tmp_path / "out")
+        run_kg_build_resumable(files, out, cfg=cfg, alias_table=corpus.aliases,
+                               seen_store_dir=store_dir)
+
+        # simulate the crash: roll the store back to a version whose
+        # journal is missing the last partition's ingest
+        store = SeenKeyStore(store_dir, key_col="doc_key")
+        jpath = os.path.join(store.current_dir(), "journal.json")
+        j = json.load(open(jpath))
+        assert j["ingests"] == ["p00000", "p00001"]
+        j["ingests"] = ["p00000"]
+        json.dump(j, open(jpath, "w"))
+
+        # resume with the same out_dir: manifest says both partitions
+        # done, so no re-processing — but p00001's dockeys re-ingest
+        r = run_kg_build_resumable(files, out, cfg=cfg, alias_table=corpus.aliases,
+                                   seen_store_dir=store_dir)
+        assert r["status"] == "done" and r["recomputed"] == 0
+        store2 = SeenKeyStore(store_dir, key_col="doc_key")
+        assert store2.ingested_keys() == ["p00000", "p00001"]
