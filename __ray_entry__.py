@@ -280,6 +280,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cfg = PipelineConfig(profile=PROFILES["text-exact"])
         return run_kg_build(inter, alias_table=None, cfg=cfg, emit_cooccurrence=True).edges
 
+    def entity_degree_hist(sf_dir: str):
+        """Degree distribution of the flagship KG — oracle-checked
+        through the ENTIRE chunk→extract→link→merge DAG (flagship SQL as
+        a CTE → endpoint degree → histogram)."""
+        from fancyrag_ray.functions.graph import entity_degree_hist as f
+
+        return f(sf_dir)
+
+    def entity_pagerank(sf_dir: str):
+        """Symmetric PageRank over the flagship CO_OCCURS edges, top-20
+        by rank. Iterative/float — rows-only driver check; equivalence
+        to dense power iteration pinned in tests/test_graph.py."""
+        from fancyrag_ray.functions.graph import entity_pagerank as f
+
+        return f(sf_dir)
+
+    def lang_id_documents(sf_dir: str):
+        """Vectorized n-gram/stopword language ID with integer outputs —
+        hash-exact vs its DuckDB mirror."""
+        from fancyrag_ray.functions.quality import lang_id_documents as f
+
+        return f(sf_dir)
+
+    def doc_fingerprints(sf_dir: str):
+        """Winnowing-1 md5 shingle fingerprint per document —
+        hash-exact vs its DuckDB mirror."""
+        from fancyrag_ray.functions.quality import doc_fingerprints as f
+
+        return f(sf_dir)
+
     return {
         # relational / aggregation / join / sort / window (SURVEY §2.4-2.6)
         "pricing_summary": R.pricing_summary,
@@ -310,6 +340,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooccurrence_edges": T.cooccurrence_edges,
         "dedup_exact": T.dedup_exact,
         "quality_scores": T.quality_scores,
+        "lang_id_documents": lang_id_documents,
+        "doc_fingerprints": doc_fingerprints,
         "tfidf_top_terms": T.tfidf_top_terms,
         "doc_rollup": T.doc_rollup,
         "sample_documents_hash": T.sample_documents_hash,
@@ -328,6 +360,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_customers": approx_distinct_customers,
         "approx_top_sources": approx_top_sources,
         "approx_price_quantiles": approx_price_quantiles,
+        # graph analytics over the flagship KG
+        "entity_degree_hist": entity_degree_hist,
+        "entity_pagerank": entity_pagerank,
         # flagship end-to-end on driver data (no SQL oracle: multi-stage)
         "kg_flagship_edges": kg_flagship_edges,
         "kg_llm_extract_triples": kg_llm_extract_triples,
@@ -339,6 +374,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from fancyrag_ray.functions import analytics as A
     from fancyrag_ray.functions import dedup as D
+    from fancyrag_ray.functions import graph as G
+    from fancyrag_ray.functions import quality as Q
     from fancyrag_ray.functions import relational as R
     from fancyrag_ray.functions import similarity as S
     from fancyrag_ray.functions import textops as T
@@ -380,6 +417,13 @@ def oracle_sql() -> dict[str, str]:
         "doc_rollup": T.DOC_ROLLUP_SQL,
         "sample_documents_hash": T.SAMPLE_DOCUMENTS_HASH_SQL,
         "knn_cosine": S.KNN_COSINE_SQL,
+        # vectorized language-ID / winnowing fingerprint (integer/string
+        # outputs chosen so the DuckDB mirror is hash-exact)
+        "lang_id_documents": Q.LANG_ID_DOCUMENTS_SQL,
+        "doc_fingerprints": Q.DOC_FINGERPRINTS_SQL,
+        # degree histogram THROUGH the full flagship DAG (flagship SQL
+        # as a CTE) — a second end-to-end hash check
+        "entity_degree_hist": G.entity_degree_hist_sql(),
         # end-to-end flagship: chunk→extract→link→edge-reduce vs SQL
         "kg_flagship_edges": T.KG_FLAGSHIP_EDGES_SQL,
         # full LLM actor path vs per-chunk pair expansion (deterministic

@@ -1,0 +1,314 @@
+"""Graph analytics over the materialized KG edge table.
+
+The reference stops at materialization (Cypher MERGE writes,
+``src/fancyrag/kg/pipeline.py``) and delegates any graph analytics to
+Neo4j. A Lance/parquet-native engine has no database to lean on, so the
+two standard KG health analytics — the degree distribution QA check and
+a PageRank-style entity importance score — are implemented here as
+Dataset compositions:
+
+- :func:`entity_degree_hist` is pure partial-aggregate → tiny combine
+  (no driver materialization, keys never leave workers un-reduced) and
+  is ORACLE-CHECKED end-to-end (flagship SQL as a CTE → degree CTE →
+  histogram), making it a second hash-checked derivative of the full
+  chunk→extract→link→merge DAG.
+- :func:`pagerank` is the iterative-algorithm showcase: per iteration
+  one edge traversal (map_batches) + one hash-partitioned combine, with
+  the rank vector either broadcast (``ray.put`` once per iteration,
+  byte-budgeted via ``fits_broadcast``) or hash-joined above the budget
+  — the same two-tier shape the dedup/anti-join paths use. Dangling
+  mass is redistributed uniformly (standard PageRank correction).
+
+Scale notes: the degree histogram's first aggregate is block-local, so
+the only shuffle is over (node → partial deg) pairs, ≪ edges for skewed
+graphs; PageRank's per-iteration state is O(nodes), never O(edges), and
+the driver holds at most one O(nodes) vector in the broadcast tier
+(documented bound, same contract as canonicalize's contraction tier).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from ..util import (
+    adaptive_partitions,
+    dataset_mean_row_bytes,
+    fits_broadcast,
+    hash_partitioned_combine,
+)
+
+
+def _flagship_edges(sf_dir: str) -> rd.Dataset:
+    """Edge table of the full flagship DAG with the SQL-reproducible
+    ``text-exact`` chunk profile (same contract as ``kg_flagship_edges``)."""
+    from ..config import PROFILES, PipelineConfig
+    from ..pipelines.kg_build import run_kg_build
+    from ..sources.io import interleave_documents
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    inter = docs.map_batches(interleave_documents, batch_format="pyarrow")
+    cfg = PipelineConfig(profile=PROFILES["text-exact"])
+    return run_kg_build(inter, alias_table=None, cfg=cfg, emit_cooccurrence=True).edges
+
+
+def degree_hist(edges: rd.Dataset, src_col: str = "src_id", dst_col: str = "dst_id") -> rd.Dataset:
+    """(degree, n_nodes) histogram over edge endpoints.
+
+    Both aggregations are partial-first: per-block endpoint counts
+    reduce inside ``map_batches`` before the small (node, deg) shuffle,
+    and the final histogram groups the ≪ nodes distinct degree values.
+    """
+
+    def ends(t: pa.Table) -> pa.Table:
+        nodes = pa.chunked_array(
+            [t.column(src_col).combine_chunks(), t.column(dst_col).combine_chunks()]
+        )
+        g = pa.table({"node": nodes}).group_by(["node"]).aggregate([([], "count_all")])
+        return g.rename_columns(["node", "deg"])
+
+    partial = edges.map_batches(ends, batch_format="pyarrow", batch_size=None)
+
+    def combine(t: pa.Table) -> pa.Table:
+        return t.group_by(["node"]).aggregate([("deg", "sum")]).rename_columns(["node", "deg"])
+
+    deg = hash_partitioned_combine(partial, ["node"], combine, adaptive_partitions(8))
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["deg"]).aggregate([([], "count_all")])
+        return g.rename_columns(["degree", "n_nodes"])
+
+    hp = deg.map_batches(hist_partial, batch_format="pyarrow", batch_size=None)
+    return hp.groupby("degree").aggregate(Sum("n_nodes", alias_name="n_nodes"))
+
+
+def entity_degree_hist(sf_dir: str) -> rd.Dataset:
+    """Degree distribution of the flagship KG — the orphan/hub QA view
+    (reference G1/G3 count queries, ``evaluator.py``) as a full
+    histogram, oracle-checked through the entire DAG."""
+    return degree_hist(_flagship_edges(sf_dir))
+
+
+ENTITY_DEGREE_HIST_SQL_TEMPLATE = """
+WITH edges AS ({edges_sql}),
+ends AS (
+  SELECT src_id AS node FROM edges
+  UNION ALL
+  SELECT dst_id AS node FROM edges
+),
+deg AS (SELECT node, COUNT(*)::BIGINT AS degree FROM ends GROUP BY node)
+SELECT degree, COUNT(*)::BIGINT AS n_nodes FROM deg GROUP BY degree
+"""
+
+
+def entity_degree_hist_sql() -> str:
+    from .textops import KG_FLAGSHIP_EDGES_SQL
+
+    return ENTITY_DEGREE_HIST_SQL_TEMPLATE.format(edges_sql=KG_FLAGSHIP_EDGES_SQL)
+
+
+def pagerank(
+    edges: rd.Dataset,
+    src_col: str = "src_id",
+    dst_col: str = "dst_id",
+    damping: float = 0.85,
+    iters: int = 10,
+    symmetric: bool = True,
+    broadcast_budget: int | None = None,
+) -> rd.Dataset:
+    """Distributed PageRank over an edge Dataset → (node, rank).
+
+    Per iteration: one edge-traversal ``map_batches`` producing partial
+    per-destination contribution sums, one hash-partitioned combine over
+    nodes. The rank vector rides as a broadcast dict (``ray.put`` once
+    per iteration) when it fits the byte budget, else as a hash join —
+    tier chosen by :func:`fits_broadcast`. Dangling-node mass (out-degree
+    0 — impossible when ``symmetric``) is redistributed uniformly.
+
+    ``symmetric=True`` unions both edge directions first (the flagship's
+    CO_OCCURS edges are stored once per unordered pair).
+    """
+    ed = edges.select_columns([src_col, dst_col]).map_batches(
+        lambda t: pa.table(
+            {"src": t.column(src_col).cast(pa.string()), "dst": t.column(dst_col).cast(pa.string())}
+        ),
+        batch_format="pyarrow",
+    )
+    if symmetric:
+        ed = ed.union(
+            ed.map_batches(
+                lambda t: pa.table({"src": t.column("dst"), "dst": t.column("src")}),
+                batch_format="pyarrow",
+            )
+        )
+    ed = ed.materialize()
+
+    # out-degree per source (partial → combine), then per-edge weight 1/outdeg
+    def od_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["src"]).aggregate([([], "count_all")])
+        return g.rename_columns(["src", "outdeg"])
+
+    def od_combine(t: pa.Table) -> pa.Table:
+        return t.group_by(["src"]).aggregate([("outdeg", "sum")]).rename_columns(["src", "outdeg"])
+
+    nparts = adaptive_partitions(8, n_rows=ed.count())
+    outdeg = hash_partitioned_combine(
+        ed.map_batches(od_partial, batch_format="pyarrow", batch_size=None),
+        ["src"], od_combine, nparts,
+    ).materialize()
+
+    # node universe = sources ∪ destinations
+    def nodes_partial(t: pa.Table) -> pa.Table:
+        arr = pa.chunked_array([t.column("src").combine_chunks(), t.column("dst").combine_chunks()])
+        return pa.table({"node": pc.unique(arr)})
+
+    nodes = hash_partitioned_combine(
+        ed.map_batches(nodes_partial, batch_format="pyarrow", batch_size=None),
+        ["node"],
+        lambda t: pa.table({"node": pc.unique(t.column("node"))}),
+        nparts,
+    ).materialize()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.string()), "rank": pa.array([], pa.float64())})
+        )
+
+    use_broadcast = fits_broadcast(
+        n_nodes,
+        dataset_mean_row_bytes(nodes, n_nodes) + 8.0,
+        **({"budget_bytes": broadcast_budget} if broadcast_budget is not None else {}),
+    )
+    base = (1.0 - damping) / n_nodes
+
+    if use_broadcast:
+        # O(nodes) driver state — same documented bound as the CC
+        # contraction tier; edge traversal stays distributed and fully
+        # vectorized (index_in against the broadcast node array, no
+        # per-row dict lookups).
+        node_tbl = pa.concat_tables(list(nodes.iter_batches(batch_format="pyarrow")))
+        col = node_tbl.column("node")
+        node_arr = pc.take(col, pc.array_sort_indices(col)).combine_chunks()
+        od_vec = np.zeros(n_nodes, np.float64)
+        for b in outdeg.iter_batches(batch_format="pyarrow"):
+            idx = pc.index_in(b.column("src"), value_set=node_arr).to_numpy(zero_copy_only=False)
+            od_vec[idx] = b.column("outdeg").to_numpy(zero_copy_only=False)
+        rank_vec = np.full(n_nodes, 1.0 / n_nodes)
+        node_ref = ray.put(node_arr)
+        for _ in range(iters):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                weight_vec = np.where(od_vec > 0, rank_vec / np.maximum(od_vec, 1.0), 0.0)
+            dangling = float(rank_vec[od_vec == 0].sum())
+            w_ref = ray.put(weight_vec)
+
+            def contrib(t: pa.Table, _n=node_ref, _w=w_ref) -> pa.Table:
+                na, wv = ray.get(_n), ray.get(_w)
+                idx = pc.index_in(t.column("src"), value_set=na).to_numpy(zero_copy_only=False)
+                out = pa.table({"dst": t.column("dst"), "c": pa.array(wv[idx], type=pa.float64())})
+                g = out.group_by(["dst"]).aggregate([("c", "sum")])
+                return g.rename_columns(["dst", "c"])
+
+            sums = hash_partitioned_combine(
+                ed.map_batches(contrib, batch_format="pyarrow", batch_size=None),
+                ["dst"],
+                lambda t: t.group_by(["dst"]).aggregate([("c", "sum")]).rename_columns(["dst", "c"]),
+                nparts,
+            )
+            new_vec = np.full(n_nodes, base + damping * dangling / n_nodes)
+            for b in sums.iter_batches(batch_format="pyarrow"):
+                idx = pc.index_in(b.column("dst"), value_set=node_arr).to_numpy(zero_copy_only=False)
+                new_vec[idx] += damping * b.column("c").to_numpy(zero_copy_only=False)
+            rank_vec = new_vec
+        return rd.from_arrow(
+            pa.table({"node": node_arr, "rank": pa.array(rank_vec, type=pa.float64())})
+        )
+
+    # join tier: rank vector larger than the broadcast budget — keep it
+    # as a Dataset keyed by node and hash-join per iteration.
+    ed2 = ed.join(outdeg, join_type="inner", num_partitions=nparts, on=("src",))
+    ed2 = ed2.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t.column("src"),
+                "dst": t.column("dst"),
+                "w": pc.divide(pa.scalar(1.0), pc.cast(t.column("outdeg"), pa.float64())),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    ranks_ds = nodes.map_batches(
+        lambda t: t.append_column("rank", pa.array(np.full(t.num_rows, 1.0 / n_nodes))),
+        batch_format="pyarrow",
+    ).materialize()
+    for _ in range(iters):
+        contribs = ed2.join(
+            ranks_ds.map_batches(
+                lambda t: t.rename_columns(["src", "rank"]), batch_format="pyarrow"
+            ),
+            join_type="inner", num_partitions=nparts, on=("src",),
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("dst"),
+                    "c": pc.multiply(t.column("w"), t.column("rank")),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        summed = hash_partitioned_combine(
+            contribs,
+            ["node"],
+            lambda t: t.group_by(["node"]).aggregate([("c", "sum")]).rename_columns(["node", "c"]),
+            nparts,
+        )
+        # left join back onto the node universe; missing → 0 incoming.
+        # No dangling correction needed in the join tier only when the
+        # graph is symmetric; otherwise compute the dangling mass with a
+        # small anti-join aggregate.
+        dangling = 0.0
+        if not symmetric:
+            # rank mass on nodes with no out-edges: left-join outdeg and
+            # sum ranks where it is null (small scalar reduce).
+            d_ds = ranks_ds.map_batches(
+                lambda t: t.rename_columns(["src", "rank"]), batch_format="pyarrow"
+            ).join(outdeg, join_type="left_outer", num_partitions=nparts, on=("src",))
+            dangling = sum(
+                r
+                for b in d_ds.iter_batches(batch_format="pyarrow")
+                for r, od in zip(b.column("rank").to_pylist(), b.column("outdeg").to_pylist())
+                if od is None
+            )
+        joined = nodes.join(summed, join_type="left_outer", num_partitions=nparts, on=("node",))
+        extra = damping * dangling / n_nodes
+        ranks_ds = joined.map_batches(
+            lambda t, _e=extra: pa.table(
+                {
+                    "node": t.column("node"),
+                    "rank": pc.add(
+                        pa.scalar(base + _e),
+                        pc.multiply(
+                            pa.scalar(damping), pc.fill_null(pc.cast(t.column("c"), pa.float64()), 0.0)
+                        ),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+    return ranks_ds
+
+
+def entity_pagerank(sf_dir: str, top: int = 20) -> rd.Dataset:
+    """Entity importance over the flagship KG: symmetric PageRank on the
+    CO_OCCURS edge table; top-``top`` nodes by rank (rank desc, node asc
+    tiebreak). Iterative/float — no SQL oracle; equivalence to dense
+    power iteration is pinned in tests/test_graph.py."""
+    ranks = pagerank(_flagship_edges(sf_dir))
+    # descending rank, ascending node tiebreak (Ray sorts all keys with
+    # one flag list; ranks are distinct enough that node order only
+    # matters on exact float ties, where ascending-node is what the
+    # docstring promises — use a two-key sort with per-key flags)
+    return ranks.sort(["rank", "node"], descending=[True, False]).limit(top)

@@ -1,0 +1,187 @@
+"""Graph analytics: degree histogram and distributed PageRank — both
+tiers of the rank-vector exchange (broadcast and hash-join) checked for
+equivalence against a dense numpy power iteration on the same graph."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+
+def _edge_ds(pairs):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "src_id": pa.array([p[0] for p in pairs], pa.string()),
+                "dst_id": pa.array([p[1] for p in pairs], pa.string()),
+            }
+        )
+    )
+
+
+def _numpy_pagerank(pairs, damping=0.85, iters=10, symmetric=True):
+    es = list(pairs)
+    if symmetric:
+        es = es + [(b, a) for a, b in es]
+    nodes = sorted({x for e in es for x in e})
+    pos = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for a, _ in es:
+        out[pos[a]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        new = np.full(n, (1 - damping) / n)
+        dangling = r[out == 0].sum()
+        new += damping * dangling / n
+        for a, b in es:
+            new[pos[b]] += damping * r[pos[a]] / out[pos[a]]
+        r = new
+    return nodes, r
+
+
+GRAPH = [
+    ("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("d", "e"),
+    ("e", "a"), ("b", "e"), ("f", "g"),  # second component
+]
+
+
+class TestPagerank:
+    def test_broadcast_tier_matches_numpy(self, ray_session):
+        from fancyrag_ray.functions.graph import pagerank
+
+        got = pagerank(_edge_ds(GRAPH)).to_pandas().sort_values("node").reset_index(drop=True)
+        nodes, r = _numpy_pagerank(GRAPH)
+        assert list(got["node"]) == nodes
+        assert np.allclose(got["rank"].to_numpy(), r, atol=1e-12)
+        # probability distribution (symmetric graph has no dangling loss)
+        assert abs(got["rank"].sum() - 1.0) < 1e-9
+
+    def test_join_tier_matches_broadcast(self, ray_session):
+        from fancyrag_ray.functions.graph import pagerank
+
+        bc = pagerank(_edge_ds(GRAPH)).to_pandas().sort_values("node").reset_index(drop=True)
+        jn = (
+            pagerank(_edge_ds(GRAPH), broadcast_budget=1)  # force the join tier
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        assert list(bc["node"]) == list(jn["node"])
+        assert np.allclose(bc["rank"].to_numpy(), jn["rank"].to_numpy(), atol=1e-9)
+
+    def test_directed_dangling_mass(self, ray_session):
+        """Asymmetric chain a→b→c: c is dangling; ranks must still sum
+        to 1 (mass redistributed), matching numpy exactly."""
+        from fancyrag_ray.functions.graph import pagerank
+
+        chain = [("a", "b"), ("b", "c")]
+        got = (
+            pagerank(_edge_ds(chain), symmetric=False)
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        nodes, r = _numpy_pagerank(chain, symmetric=False)
+        assert list(got["node"]) == nodes
+        assert np.allclose(got["rank"].to_numpy(), r, atol=1e-12)
+        assert abs(got["rank"].sum() - 1.0) < 1e-9
+
+    def test_directed_dangling_join_tier(self, ray_session):
+        from fancyrag_ray.functions.graph import pagerank
+
+        chain = [("a", "b"), ("b", "c")]
+        got = (
+            pagerank(_edge_ds(chain), symmetric=False, broadcast_budget=1)
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        nodes, r = _numpy_pagerank(chain, symmetric=False)
+        assert np.allclose(got["rank"].to_numpy(), r, atol=1e-9)
+
+    def test_empty_edges(self, ray_session):
+        from fancyrag_ray.functions.graph import pagerank
+
+        out = pagerank(_edge_ds([]))
+        assert out.count() == 0
+
+
+class TestDegreeHist:
+    def test_hist_small_graph(self, ray_session):
+        from fancyrag_ray.functions.graph import degree_hist
+
+        # degrees (symmetric endpoint counts): a:3 b:3 c:3 d:2 e:3 f:1 g:1
+        got = degree_hist(_edge_ds(GRAPH)).to_pandas().sort_values("degree").reset_index(drop=True)
+        expect = {1: 2, 2: 1, 3: 4}
+        assert dict(zip(got["degree"], got["n_nodes"])) == expect
+
+
+class TestLangIdQuery:
+    def test_matches_classify_one(self, ray_session, tmp_path):
+        """The vectorized query semantics must agree with the per-row
+        LangId actor on every branch: en/de/es/fr argmax, tie→profile
+        order, und (no hits / empty), zh (CJK ratio)."""
+        import pyarrow.parquet as pq
+
+        from fancyrag_ray.functions.quality import LangId, lang_id_documents
+
+        texts = [
+            "the cat and the dog are in the house",
+            "der hund ist nicht mit der katze",
+            "el perro y el gato en la casa",
+            "le chat et le chien dans la maison",
+            "你好世界 这是一个测试 文本很长",
+            "zzz qqq xxx",           # no hits → und
+            "",                       # empty → und
+            "de la",                  # es/fr tie → es (profile order)
+        ]
+        t = pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()),
+             "text": pa.array(texts, pa.string()),
+             "source": pa.array(["s"] * len(texts), pa.string()),
+             "n_chars": pa.array([len(x) for x in texts], pa.int64())}
+        )
+        d = tmp_path / "documents.parquet"
+        pq.write_table(t, d)
+        out = (
+            lang_id_documents(str(tmp_path))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        li = LangId()
+        for i, txt in enumerate(texts):
+            lang, _score = li.classify_one(txt)
+            assert out.loc[i, "lang_pred"] == lang, (i, txt)
+        assert out.loc[5, "lang_pred"] == "und"
+        assert out.loc[7, "lang_pred"] == "es"
+        assert out.loc[4, "lang_pred"] == "zh"
+        assert out.loc[0, "n_hits"] > 0 and out.loc[0, "lang_pred"] == "en"
+
+
+class TestFingerprintQuery:
+    def test_known_value_and_shared_window(self, ray_session, tmp_path):
+        import hashlib
+
+        import pyarrow.parquet as pq
+
+        from fancyrag_ray.functions.quality import doc_fingerprints
+
+        a = "alpha beta gamma delta epsilon zeta"
+        b_shares_min = "PREFIX alpha beta gamma delta epsilon zeta SUFFIX"
+        texts = [a, b_shares_min, "short words", ""]
+        t = pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()),
+             "text": pa.array(texts, pa.string())}
+        )
+        pq.write_table(t, tmp_path / "documents.parquet")
+        out = (
+            doc_fingerprints(str(tmp_path))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        ws = a.split()
+        expect = min(
+            hashlib.md5(" ".join(ws[i : i + 5]).encode()).hexdigest()[:16]
+            for i in range(len(ws) - 4)
+        )
+        assert out.loc[0, "fingerprint"] == expect
+        # doc 1 contains every window of doc 0 → its min is ≤ doc 0's;
+        # winnowing overlap detection = fingerprint can only get smaller
+        assert out.loc[1, "fingerprint"] <= expect
+        assert out.loc[3, "fingerprint"] == ""
+        # sub-window doc uses all its words
+        sw = hashlib.md5(b"short words").hexdigest()[:16]
+        assert out.loc[2, "fingerprint"] == sw
