@@ -25,7 +25,13 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..stages.canonicalize import connected_components
-from ..util import BROADCAST_BUDGET_BYTES, adaptive_partitions, dataset_mean_row_bytes, fits_broadcast
+from ..util import (
+    BROADCAST_BUDGET_BYTES,
+    adaptive_partitions,
+    dataset_mean_row_bytes,
+    fits_broadcast,
+    hash_partitioned_combine,
+)
 
 _M61 = (1 << 61) - 1
 
@@ -110,52 +116,79 @@ def minhash_lsh_duplicates(
             return pa.table({id_col: pa.array([str(i) for i in ids], pa.string()),
                              "sig": pa.array(sigs, pa.binary())})
 
+    # NOT materialized: the only lineage above is the pruned read + id
+    # cast, and paying a barrier here adds a whole execution round
+    # (re-reading two parquet columns later is cheaper than persisting
+    # the corpus text through the object store twice)
     texts = docs.select_columns([id_col, text_col]).map_batches(
         lambda t: pa.table({id_col: t.column(id_col).cast(pa.string()), text_col: t.column(text_col)}),
         batch_format="pyarrow",
-    ).materialize()
+    )
     sigs = texts.map_batches(
         SigEmitter, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4)
     ).materialize()  # small: one 8·n_hashes-byte row per doc
 
+    # band keys by a vectorized multiply-xor mix over the (n, n_bands,
+    # rows_per_band) signature cube — one numpy pass per batch instead
+    # of n_bands sha1 calls per doc. A mixed 63-bit int is a weaker hash
+    # than sha1, but band keys only PROPOSE candidates: false-positive
+    # collisions are discarded by the signature-estimate prefilter and
+    # the exact Jaccard verify, so the output is identical.
+    _mix = np.array(
+        [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5],
+        dtype=np.uint64,
+    )[:rows_per_band]
+
     def explode_bands(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_pylist()
-        o_band, o_hash, o_id = [], [], []
-        for d, s in zip(ids, t.column("sig").to_pylist()):
-            sig = np.frombuffer(s, dtype=np.uint64)
-            for b in range(n_bands):
-                band = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                o_band.append(b)
-                o_hash.append(hashlib.sha1(band.tobytes()).hexdigest()[:16])
-                o_id.append(d)
+        n = t.num_rows
+        flat = np.frombuffer(b"".join(t.column("sig").to_pylist()), dtype=np.uint64)
+        cube = flat.reshape(n, n_bands, rows_per_band)
+        with np.errstate(over="ignore"):
+            mixed = cube * _mix[None, None, :]
+        keys = mixed[:, :, 0]
+        for k in range(1, rows_per_band):
+            keys = keys ^ mixed[:, :, k]
+            keys = keys * np.uint64(0x100000001B3)
+        keys = (keys >> np.uint64(1)).astype(np.int64)  # 63-bit for Arrow int64
+        band_ids = np.tile(np.arange(n_bands, dtype=np.int32), n)
+        ids = t.column(id_col).take(
+            pa.array(np.repeat(np.arange(n, dtype=np.int64), n_bands))
+        )
         return pa.table(
             {
-                "band": pa.array(o_band, pa.int32()),
-                "band_hash": pa.array(o_hash, pa.string()),
-                id_col: pa.array(o_id, pa.string()),
+                "band": pa.array(band_ids, pa.int32()),
+                "band_hash": pa.array(keys.reshape(-1), pa.int64()),
+                id_col: ids,
             }
         )
 
     bands = sigs.map_batches(explode_bands, batch_format="pyarrow").materialize()
 
-    # Bucket-size prefilter as a SEMI-JOIN: near-dup buckets are sparse,
-    # so keep only rows of multi-member (band, band_hash) buckets. The
-    # alternative (driver-side set of hot keys) is unbounded on a
-    # duplicate-heavy crawl.
-    from ray.data.aggregate import Count as _Count
+    # Bucket-size prefilter: count members per (band, band_hash) via the
+    # hash-partitioned combine (sum of per-block partial counts — Ray's
+    # sort-based groupby pays a global sort for what is a pure hash
+    # aggregation) and keep multi-member buckets. Applied as a bounded
+    # broadcast below the byte budget / a semi-join above it — never an
+    # unbounded driver set.
+    def _count_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["band", "band_hash"]).group_by(["band", "band_hash"]).aggregate([([], "count_all")])
+        return g.rename_columns(["band", "band_hash", "n"])
 
-    def _multi_filter(t: pa.Table) -> pa.Table:
-        t = t.filter(pa.compute.greater(t.column("n"), pa.scalar(1)))
-        # the groupby aggregate promotes int32 keys to int64; the join
-        # requires identical key dtypes on both sides
-        return pa.table({"band": t.column("band").cast(pa.int32()), "band_hash": t.column("band_hash")})
+    def _count_combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(["band", "band_hash"]).aggregate([("n", "sum")])
+        g = g.rename_columns(["band", "band_hash", "n"])
+        t2 = g.filter(pa.compute.greater(g.column("n"), pa.scalar(1)))
+        return pa.table(
+            {"band": t2.column("band").cast(pa.int32()), "band_hash": t2.column("band_hash").cast(pa.int64())}
+        )
 
-    multi = (
-        bands.groupby(["band", "band_hash"])
-        .aggregate(_Count(alias_name="n"))
-        .map_batches(_multi_filter, batch_format="pyarrow")
-        .materialize()  # consumed twice (count + broadcast/semi-join)
-    )
+    n_band_rows = bands.count()
+    multi = hash_partitioned_combine(
+        bands.map_batches(_count_partial, batch_format="pyarrow", batch_size=None),
+        ["band", "band_hash"],
+        _count_combine,
+        adaptive_partitions(16, n_rows=n_band_rows),
+    ).materialize()  # consumed twice (count + broadcast/semi-join)
     n_multi = multi.count()
     if n_multi == 0:
         return rd.from_arrow(
@@ -206,41 +239,66 @@ def minhash_lsh_duplicates(
     else:
         cand = hot_rows.join(sigs, join_type="inner", num_partitions=parts, on=(id_col,))
 
-    def candidate_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"src": pd.Series(dtype=object), "dst": pd.Series(dtype=object)})
-        if len(df) < 2:
+    lo = jaccard_threshold - est_margin
+
+    def block_pairs(t: pa.Table) -> pa.Table:
+        """Whole-block pair generation: the block holds every row of its
+        hash partition, so each (band, band_hash) bucket is complete —
+        a pandas groupby inside the block replaces Ray's sort-based
+        map_groups (one Python call per block instead of per bucket,
+        and the signature-estimate check is one vectorized numpy
+        compare per bucket instead of per pair)."""
+        empty = pa.table({"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())})
+        if t.num_rows < 2:
             return empty
-        df = df.drop_duplicates(id_col).sort_values(id_col)
-        if len(df) < 2:
+        df = t.to_pandas()
+        out_src: list = []
+        out_dst: list = []
+        for _, g in df.groupby(["band", "band_hash"], sort=False):
+            g = g.drop_duplicates(id_col).sort_values(id_col)
+            m = len(g)
+            if m < 2:
+                continue
+            ids = g[id_col].to_numpy(dtype=object)
+            S = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]])
+            if m <= all_pairs_bucket_limit:
+                ai, bi = np.triu_indices(m, k=1)
+            else:  # duplicate-heavy bucket: star around the minimum member
+                ai = np.zeros(m - 1, dtype=np.int64)
+                bi = np.arange(1, m, dtype=np.int64)
+            est = (S[ai] == S[bi]).mean(axis=1)
+            keep = est >= lo
+            out_src.append(ids[ai[keep]])
+            out_dst.append(ids[bi[keep]])
+        if not out_src:
             return empty
-        ids = df[id_col].tolist()
-        sigs_ = [np.frombuffer(s, dtype=np.uint64) for s in df["sig"]]
-        src, dst = [], []
-        lo = jaccard_threshold - est_margin
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate(out_src), pa.string()),
+                "dst": pa.array(np.concatenate(out_dst), pa.string()),
+            }
+        )
 
-        def emit(i, j):
-            est = float((sigs_[i] == sigs_[j]).mean())
-            if est >= lo:
-                src.append(ids[i])
-                dst.append(ids[j])
-
-        if len(ids) <= all_pairs_bucket_limit:
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    emit(i, j)
-        else:  # duplicate-heavy bucket: star around the minimum member
-            for j in range(1, len(ids)):
-                emit(0, j)
-        return pd.DataFrame({"src": src, "dst": dst}).astype({"src": object, "dst": object})
-
-    pairs = cand.groupby(["band", "band_hash"]).map_groups(candidate_pairs, batch_format="pandas")
-    # a pair surfaces in up to n_bands buckets → dedup before the text
-    # join; materialized because it is consumed several times (count,
-    # endpoint scan, verify) and each consumption would otherwise
-    # re-execute the whole bucket chain
-    pairs = (
-        pairs.groupby(["src", "dst"]).aggregate(_Count(alias_name="_n")).select_columns(["src", "dst"]).materialize()
+    # candidate rows ≤ band rows; sizing the partition count off the
+    # upper bound avoids an extra counting execution
+    raw_pairs = hash_partitioned_combine(
+        cand, ["band", "band_hash"], block_pairs, adaptive_partitions(16, n_rows=n_band_rows)
     )
+
+    # a pair surfaces in up to n_bands buckets → dedup before the text
+    # join (distinct via per-block Arrow group_by after a pair-key hash
+    # partition); materialized because it is consumed several times
+    # (count, endpoint scan, verify) and each consumption would
+    # otherwise re-execute the whole bucket chain
+    def _pair_distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(["src", "dst"]).aggregate([])
+
+    pairs = hash_partitioned_combine(
+        raw_pairs.map_batches(_pair_distinct, batch_format="pyarrow", batch_size=None),
+        ["src", "dst"],
+        _pair_distinct,
+        adaptive_partitions(16, n_rows=n_band_rows),
+    ).materialize()
 
     # exact verification on text (advice parity: the docstring's "exact
     # Jaccard verify" is now true — estimates only prefilter)
@@ -417,20 +475,27 @@ def simhash_duplicates(
     ).materialize()
 
     # same bucket-size prefilter as MinHash-LSH, applied as a semi-join
-    # (a driver-side hot-key set is unbounded on duplicate-heavy crawls)
-    from ray.data.aggregate import Count as _Count
+    # (a driver-side hot-key set is unbounded on duplicate-heavy crawls);
+    # counts via partial-per-block + hash-partitioned combine — Ray's
+    # sort-based groupby pays a global sort for a pure hash aggregation
+    def _count_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["band", "key"]).group_by(["band", "key"]).aggregate([([], "count_all")])
+        return g.rename_columns(["band", "key", "n"])
 
-    def _multi_filter(t: pa.Table) -> pa.Table:
-        t = t.filter(pa.compute.greater(t.column("n"), pa.scalar(1)))
-        # groupby promotes int32 keys to int64; join needs matching dtypes
-        return pa.table({"band": t.column("band").cast(pa.int32()), "key": t.column("key").cast(pa.int64())})
+    def _count_combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(["band", "key"]).aggregate([("n", "sum")])
+        g = g.rename_columns(["band", "key", "n"])
+        t2 = g.filter(pa.compute.greater(g.column("n"), pa.scalar(1)))
+        # join needs matching key dtypes on both sides
+        return pa.table({"band": t2.column("band").cast(pa.int32()), "key": t2.column("key").cast(pa.int64())})
 
-    multi = (
-        bands.select_columns(["band", "key"])
-        .groupby(["band", "key"])
-        .aggregate(_Count(alias_name="n"))
-        .map_batches(_multi_filter, batch_format="pyarrow")
-    )
+    n_band_rows = bands.count()
+    multi = hash_partitioned_combine(
+        bands.map_batches(_count_partial, batch_format="pyarrow", batch_size=None),
+        ["band", "key"],
+        _count_combine,
+        adaptive_partitions(16, n_rows=n_band_rows),
+    ).materialize()
     n_multi = multi.count()
     if n_multi == 0:
         return rd.from_arrow(
@@ -447,40 +512,61 @@ def simhash_duplicates(
         on=("band", "key"),
     )
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(
-            {"doc_a": object, "doc_b": object, "hamming": "int64"}
+    def block_pairs(t: pa.Table) -> pa.Table:
+        """Whole-block pair generation after a (band, key) hash
+        partition: every bucket is complete inside its block, so one
+        pandas groupby per BLOCK replaces Ray's sort-based per-bucket
+        map_groups; the Hamming check stays a vectorized XOR+popcount."""
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.string()),
+                "doc_b": pa.array([], pa.string()),
+                "hamming": pa.array([], pa.int64()),
+            }
         )
-        df = df.drop_duplicates(id_col).sort_values(id_col)
-        m = len(df)
-        if m < 2:
+        if t.num_rows < 2:
             return empty
-        ids = df[id_col].astype(str).to_numpy(dtype=object)
-        fps = df["fp"].to_numpy(dtype=np.uint64)
-        if m <= all_pairs_bucket_limit:
-            ai, bi = np.triu_indices(m, k=1)
-        else:  # saturated bucket: star around the minimum id — O(m)
-            ai = np.zeros(m - 1, dtype=np.int64)
-            bi = np.arange(1, m, dtype=np.int64)
-        d = _popcount64(fps[ai] ^ fps[bi])
-        keep = d <= max_hamming
-        return pd.DataFrame(
-            {"doc_a": ids[ai[keep]], "doc_b": ids[bi[keep]], "hamming": d[keep]}
-        ).astype({"doc_a": object, "doc_b": object, "hamming": "int64"})
+        df = t.to_pandas()
+        out = []
+        for _, g in df.groupby(["band", "key"], sort=False):
+            g = g.drop_duplicates(id_col).sort_values(id_col)
+            m = len(g)
+            if m < 2:
+                continue
+            ids = g[id_col].astype(str).to_numpy(dtype=object)
+            fps = g["fp"].to_numpy(dtype=np.uint64)
+            if m <= all_pairs_bucket_limit:
+                ai, bi = np.triu_indices(m, k=1)
+            else:  # saturated bucket: star around the minimum id — O(m)
+                ai = np.zeros(m - 1, dtype=np.int64)
+                bi = np.arange(1, m, dtype=np.int64)
+            d = _popcount64(fps[ai] ^ fps[bi])
+            keep = d <= max_hamming
+            out.append((ids[ai[keep]], ids[bi[keep]], d[keep]))
+        if not out:
+            return empty
+        return pa.table(
+            {
+                "doc_a": pa.array(np.concatenate([x[0] for x in out]), pa.string()),
+                "doc_b": pa.array(np.concatenate([x[1] for x in out]), pa.string()),
+                "hamming": pa.array(np.concatenate([x[2] for x in out]), pa.int64()),
+            }
+        )
 
-    pair_ds = bands.groupby(["band", "key"]).map_groups(pairs, batch_format="pandas")
+    pair_ds = hash_partitioned_combine(
+        bands, ["band", "key"], block_pairs, adaptive_partitions(16, n_rows=n_band_rows)
+    )
 
     # a pair can match in several bands → dedup on (doc_a, doc_b)
     def dedup(t: pa.Table) -> pa.Table:
         g = t.group_by(["doc_a", "doc_b"]).aggregate([("hamming", "min")])
         return g.rename_columns(["doc_a", "doc_b", "hamming"])
 
-    from ray.data.aggregate import Min
-
-    return (
-        pair_ds.map_batches(dedup, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Min("hamming", alias_name="hamming"))
+    return hash_partitioned_combine(
+        pair_ds.map_batches(dedup, batch_format="pyarrow", batch_size=None),
+        ["doc_a", "doc_b"],
+        dedup,
+        adaptive_partitions(16, n_rows=n_band_rows),
     )
 
 
