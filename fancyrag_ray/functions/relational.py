@@ -478,10 +478,33 @@ def events_sessions_sharded(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
         out["n_events"] = out["n_events"].astype("int64")
         return out[["user_id", "n_events", "t_start", "t_end", "sum_value"]]
 
-    segments = (
-        ds.map_batches(add_keys, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(bucket_segments, batch_format="pandas")
+    # hash-partition on the bucket key and run the (already multi-group
+    # vectorized) segment pass once per BLOCK: every (user, day) lands
+    # whole in one block, and the per-block pandas pass sorts by
+    # (user, day, ts) itself — Ray's sort-based map_groups paid a global
+    # sort plus a Python call per bucket for the same result
+    from ..util import hash_partitioned_combine as _hpc
+
+    n_events_total = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+
+    def _seg_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "t_start": pa.array([], pa.timestamp("us")),
+                    "t_end": pa.array([], pa.timestamp("us")),
+                    "sum_value": pa.array([], pa.float64()),
+                }
+            )
+        return pa.Table.from_pandas(bucket_segments(t.to_pandas()), preserve_index=False)
+
+    segments = _hpc(
+        ds.map_batches(add_keys, batch_format="pyarrow"),
+        ["bucket"],
+        _seg_block,
+        adaptive_partitions(16, n_rows=n_events_total),
     )
 
     def add_user_bucket(t: pa.Table) -> pa.Table:
@@ -512,10 +535,26 @@ def events_sessions_sharded(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
         out["sum_value"] = out["sum_value"].round(2)
         return out[["user_id", "session_id", "n_events", "t_start", "t_end", "sum_value"]]
 
-    return (
-        segments.map_batches(add_user_bucket, batch_format="pyarrow")
-        .groupby("ubucket")
-        .map_groups(merge_bucket, batch_format="pandas")
+    def _merge_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "session_id": pa.array([], pa.int32()),
+                    "n_events": pa.array([], pa.int64()),
+                    "t_start": pa.array([], pa.timestamp("us")),
+                    "t_end": pa.array([], pa.timestamp("us")),
+                    "sum_value": pa.array([], pa.float64()),
+                }
+            )
+        df = t.to_pandas().drop(columns=["ubucket"])
+        return pa.Table.from_pandas(merge_bucket(df), preserve_index=False)
+
+    return _hpc(
+        segments.map_batches(add_user_bucket, batch_format="pyarrow"),
+        ["ubucket"],
+        _merge_block,
+        adaptive_partitions(16, n_rows=n_events_total),
     )
 
 
@@ -927,34 +966,26 @@ JOIN intervals i
 def events_last_order(sf_dir: str) -> rd.Dataset:
     """Driver query for ``asof_join``: each event annotated with the
     user's most recent order as of the event time (DuckDB ``ASOF JOIN``
-    oracle). The right side is pre-reduced to one row per
-    (custkey, orderdate) with a max-orderkey tiebreak so the matched
-    payload is deterministic on both sides."""
-    from ray.data.aggregate import Max
-
+    oracle). Ties at one (custkey, orderdate) resolve to the max
+    orderkey WITHOUT a global pre-reduce: ``asof_join``'s per-block
+    merge sorts the right side by (time, payload) and ``merge_asof``
+    matches the last tied row — identical to the oracle's max-orderkey
+    reduction. A per-block partial reduce still slims duplicate
+    (custkey, orderdate) rows before they shuffle."""
     events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"])
 
     def _pre(t: pa.Table) -> pa.Table:
         g = t.group_by(["o_custkey", "o_orderdate"]).aggregate([("o_orderkey", "max")])
-        return g.rename_columns(["o_custkey", "o_orderdate", "o_orderkey"])
-
-    def _recast(t: pa.Table) -> pa.Table:
-        # the sort-shuffle groupby narrows date-aligned timestamps to
-        # timestamp[s]; asof_join requires identical on-dtypes
-        return t.set_column(
-            t.schema.get_field_index("o_orderdate"),
+        g = g.rename_columns(["o_custkey", "o_orderdate", "o_orderkey"])
+        # keep the on-dtype identical to events.ts for the asof check
+        return g.set_column(
+            g.schema.get_field_index("o_orderdate"),
             "o_orderdate",
-            t.column("o_orderdate").cast(pa.timestamp("us")),
+            g.column("o_orderdate").cast(pa.timestamp("us")),
         )
 
-    reduced = (
-        orders.map_batches(_pre, batch_format="pyarrow")
-        .groupby(["o_custkey", "o_orderdate"])
-        .aggregate(Max("o_orderkey", alias_name="o_orderkey"))
-        .map_batches(_recast, batch_format="pyarrow")
-        .materialize()  # consumed twice: asof_join's schema probe + the shuffle
-    )
+    reduced = orders.map_batches(_pre, batch_format="pyarrow").materialize()
     n_events = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
     return asof_join(
         events,
