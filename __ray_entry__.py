@@ -288,6 +288,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return f(sf_dir)
 
+    def entity_triangles(sf_dir: str):
+        """Per-entity triangle counts over the flagship KG — degree-
+        oriented wedge counting, oracle-checked end-to-end (flagship SQL
+        as a CTE → three-way self-join → per-corner counts)."""
+        from fancyrag_ray.functions.graph import entity_triangles as f
+
+        return f(sf_dir)
+
     def entity_pagerank(sf_dir: str):
         """Symmetric PageRank over the flagship CO_OCCURS edges, top-20
         by rank. Iterative/float — rows-only driver check; equivalence
@@ -362,6 +370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_price_quantiles": approx_price_quantiles,
         # graph analytics over the flagship KG
         "entity_degree_hist": entity_degree_hist,
+        "entity_triangles": entity_triangles,
         "entity_pagerank": entity_pagerank,
         # flagship end-to-end on driver data (no SQL oracle: multi-stage)
         "kg_flagship_edges": kg_flagship_edges,
@@ -424,6 +433,9 @@ def oracle_sql() -> dict[str, str]:
         # degree histogram THROUGH the full flagship DAG (flagship SQL
         # as a CTE) — a second end-to-end hash check
         "entity_degree_hist": G.entity_degree_hist_sql(),
+        # per-entity triangle counts through the full DAG (three-way
+        # self-join of the flagship edge CTE)
+        "entity_triangles": G.entity_triangles_sql(),
         # end-to-end flagship: chunk→extract→link→edge-reduce vs SQL
         "kg_flagship_edges": T.KG_FLAGSHIP_EDGES_SQL,
         # full LLM actor path vs per-chunk pair expansion (deterministic

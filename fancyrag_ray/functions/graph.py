@@ -301,6 +301,197 @@ def pagerank(
     return ranks_ds
 
 
+def triangle_counts(
+    edges: rd.Dataset, src_col: str = "src_id", dst_col: str = "dst_id"
+) -> rd.Dataset:
+    """Per-node triangle participation counts → (node, n_triangles).
+
+    Degree-oriented wedge counting (the standard distributed algorithm):
+    orient every undirected edge from its lower-(degree, id) endpoint to
+    the higher one, so each out-adjacency has O(√m) neighbors even at
+    hub nodes; wedges are out-neighbor pairs per pivot (complete inside
+    one block after a hash partition on the pivot); a wedge closes into
+    a triangle iff its (b1, b2) pair is itself an oriented edge — one
+    hash join. Each triangle is found exactly once (at its lowest-order
+    corner) and then credited to all three corners with a partial-first
+    count combine. Nothing corpus-sized reaches the driver.
+    """
+    # normalize to undirected unique (lo, hi) pairs
+    def norm(t: pa.Table) -> pa.Table:
+        a = t.column(src_col).cast(pa.string())
+        b = t.column(dst_col).cast(pa.string())
+        a_lo = pc.less_equal(a, b)  # min/max_element_wise don't take strings
+        lo = pc.if_else(a_lo, a, b)
+        hi = pc.if_else(a_lo, b, a)
+        out = pa.table({"a": lo, "b": hi})
+        out = out.filter(pc.not_equal(out.column("a"), out.column("b")))  # drop self-loops
+        return out.group_by(["a", "b"]).aggregate([])
+
+    _empty = pa.table(
+        {"node": pa.array([], pa.string()), "n_triangles": pa.array([], pa.int64())}
+    )
+    # row-bounded partition counts throughout: a hash-shuffle partition
+    # that receives ZERO rows finalizes a schema-less table and fails —
+    # tiny or empty stages must collapse to one partition (documented in
+    # adaptive_partitions), and the triangle set below can legitimately
+    # be empty even on a big graph
+    n_raw = edges.count()
+    if n_raw == 0:
+        return rd.from_arrow(_empty)
+    und = hash_partitioned_combine(
+        edges.map_batches(norm, batch_format="pyarrow", batch_size=None),
+        ["a", "b"],
+        lambda t: t.group_by(["a", "b"]).aggregate([]),
+        adaptive_partitions(8, n_rows=n_raw),
+    ).materialize()
+    n_edges = und.count()
+    if n_edges == 0:
+        return rd.from_arrow(_empty)
+
+    # endpoint degrees (partial-first), then broadcast the (node → degree)
+    # map: it is O(nodes) narrow rows — the same byte-budget contract as
+    # pagerank's broadcast tier would apply on a bigger-than-memory node
+    # set, where the orientation becomes a join; documented bound here.
+    def deg_partial(t: pa.Table) -> pa.Table:
+        nodes = pa.chunked_array([t.column("a").combine_chunks(), t.column("b").combine_chunks()])
+        g = pa.table({"node": nodes}).group_by(["node"]).aggregate([([], "count_all")])
+        return g.rename_columns(["node", "deg"])
+
+    deg = hash_partitioned_combine(
+        und.map_batches(deg_partial, batch_format="pyarrow", batch_size=None),
+        ["node"],
+        lambda t: t.group_by(["node"]).aggregate([("deg", "sum")]).rename_columns(["node", "deg"]),
+        adaptive_partitions(8, n_rows=2 * n_edges),
+    )
+    deg_tbl = pa.concat_tables(list(deg.iter_batches(batch_format="pyarrow")))
+    node_arr = deg_tbl.column("node").combine_chunks()
+    deg_vec = deg_tbl.column("deg").to_numpy(zero_copy_only=False)
+    node_ref = ray.put(node_arr)
+    deg_ref = ray.put(deg_vec)
+
+    def orient(t: pa.Table) -> pa.Table:
+        """src = lower-(degree, id) endpoint, dst = the other."""
+        na, dv = ray.get(node_ref), ray.get(deg_ref)
+        ia = pc.index_in(t.column("a"), value_set=na).to_numpy(zero_copy_only=False)
+        ib = pc.index_in(t.column("b"), value_set=na).to_numpy(zero_copy_only=False)
+        da, db = dv[ia], dv[ib]
+        # a < b lexically already, so ties on degree keep a as source
+        a_first = (da < db) | (da == db)
+        src = pc.if_else(pa.array(a_first), t.column("a").combine_chunks(), t.column("b").combine_chunks())
+        dst = pc.if_else(pa.array(a_first), t.column("b").combine_chunks(), t.column("a").combine_chunks())
+        return pa.table({"src": src, "dst": dst})
+
+    oriented = und.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def wedges(t: pa.Table) -> pa.Table:
+        """All out-neighbor pairs per pivot (block holds each pivot's
+        full adjacency after the hash partition); pairs emitted in
+        canonical (w1 < w2) order so the closing join hits the oriented
+        edge in whichever direction the degree order stored it — join
+        both orders below."""
+        empty = pa.table(
+            {
+                "pivot": pa.array([], pa.string()),
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+            }
+        )
+        if t.num_rows < 2:
+            return empty
+        df = t.to_pandas()
+        pv, w1, w2 = [], [], []
+        for pivot, g in df.groupby("src", sort=False):
+            nb = np.sort(g["dst"].to_numpy(dtype=object))
+            m = len(nb)
+            if m < 2:
+                continue
+            ai, bi = np.triu_indices(m, k=1)
+            pv.append(np.full(len(ai), pivot, dtype=object))
+            w1.append(nb[ai])
+            w2.append(nb[bi])
+        if not pv:
+            return empty
+        return pa.table(
+            {
+                "pivot": pa.array(np.concatenate(pv), pa.string()),
+                "w1": pa.array(np.concatenate(w1), pa.string()),
+                "w2": pa.array(np.concatenate(w2), pa.string()),
+            }
+        )
+
+    wedge_ds = hash_partitioned_combine(
+        oriented, ["src"], wedges, adaptive_partitions(8, n_rows=n_edges)
+    ).materialize()
+    if wedge_ds.count() == 0:  # a zero-row join side crashes the hash join
+        return rd.from_arrow(_empty)
+    # closing edge may be oriented either way relative to (w1 < w2)
+    closing = oriented.union(
+        oriented.map_batches(
+            lambda t: pa.table({"src": t.column("dst"), "dst": t.column("src")}),
+            batch_format="pyarrow",
+        )
+    )
+    parts = adaptive_partitions(8, n_rows=n_edges)
+    tri = wedge_ds.join(
+        closing, join_type="inner", num_partitions=parts, on=("w1", "w2"), right_on=("src", "dst")
+    ).materialize()
+    n_tri = tri.count()
+    if n_tri == 0:
+        return rd.from_arrow(_empty)
+
+    def credit(t: pa.Table) -> pa.Table:
+        nodes = pa.chunked_array(
+            [
+                t.column("pivot").combine_chunks(),
+                t.column("w1").combine_chunks(),
+                t.column("w2").combine_chunks(),
+            ]
+        )
+        g = pa.table({"node": nodes}).group_by(["node"]).aggregate([([], "count_all")])
+        return g.rename_columns(["node", "n_triangles"])
+
+    return hash_partitioned_combine(
+        tri.map_batches(credit, batch_format="pyarrow", batch_size=None),
+        ["node"],
+        lambda t: t.group_by(["node"]).aggregate([("n_triangles", "sum")]).rename_columns(
+            ["node", "n_triangles"]
+        ),
+        adaptive_partitions(8, n_rows=3 * n_tri),
+    )
+
+
+def entity_triangles(sf_dir: str) -> rd.Dataset:
+    """Per-entity triangle counts over the flagship KG — oracle-checked
+    end-to-end (flagship SQL as a CTE → normalized undirected edges →
+    three-way self-join → per-corner counts)."""
+    return triangle_counts(_flagship_edges(sf_dir))
+
+
+ENTITY_TRIANGLES_SQL_TEMPLATE = """
+WITH edges AS ({edges_sql}),
+norm AS (
+  SELECT LEAST(src_id, dst_id) AS a, GREATEST(src_id, dst_id) AS b
+  FROM edges WHERE src_id <> dst_id GROUP BY 1, 2
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM norm e1
+  JOIN norm e2 ON e2.a = e1.b
+  JOIN norm e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+)
+SELECT node, COUNT(*)::BIGINT AS n_triangles FROM corners GROUP BY node
+"""
+
+
+def entity_triangles_sql() -> str:
+    from .textops import KG_FLAGSHIP_EDGES_SQL
+
+    return ENTITY_TRIANGLES_SQL_TEMPLATE.format(edges_sql=KG_FLAGSHIP_EDGES_SQL)
+
+
 def entity_pagerank(sf_dir: str, top: int = 20) -> rd.Dataset:
     """Entity importance over the flagship KG: symmetric PageRank on the
     CO_OCCURS edge table; top-``top`` nodes by rank (rank desc, node asc

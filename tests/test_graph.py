@@ -101,6 +101,41 @@ class TestPagerank:
         assert out.count() == 0
 
 
+class TestTriangles:
+    def test_known_triangles(self, ray_session):
+        from fancyrag_ray.functions.graph import triangle_counts
+
+        # GRAPH triangles: (a,b,c), (a,b,e)? a-b,a-c,b-c yes; b-e,e-a,a-b yes;
+        # c-d,d-e,?c-e no. So triangles: {a,b,c} and {a,b,e}.
+        got = triangle_counts(_edge_ds(GRAPH)).to_pandas()
+        counts = dict(zip(got["node"], got["n_triangles"]))
+        assert counts == {"a": 2, "b": 2, "c": 1, "e": 1}
+
+    def test_clique_counts(self, ray_session):
+        from fancyrag_ray.functions.graph import triangle_counts
+
+        # K5: each node is in C(4,2)=6 triangles; total C(5,3)=10
+        nodes = ["n1", "n2", "n3", "n4", "n5"]
+        k5 = [(a, b) for i, a in enumerate(nodes) for b in nodes[i + 1 :]]
+        got = triangle_counts(_edge_ds(k5)).to_pandas()
+        assert sorted(got["node"]) == nodes
+        assert (got["n_triangles"] == 6).all()
+        assert got["n_triangles"].sum() == 30  # 10 triangles × 3 corners
+
+    def test_duplicate_and_reversed_edges_collapse(self, ray_session):
+        from fancyrag_ray.functions.graph import triangle_counts
+
+        tri = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("a", "c")]
+        got = triangle_counts(_edge_ds(tri)).to_pandas()
+        assert dict(zip(got["node"], got["n_triangles"])) == {"a": 1, "b": 1, "c": 1}
+
+    def test_no_triangles(self, ray_session):
+        from fancyrag_ray.functions.graph import triangle_counts
+
+        got = triangle_counts(_edge_ds([("a", "b"), ("b", "c"), ("c", "d")]))
+        assert got.count() == 0
+
+
 class TestDegreeHist:
     def test_hist_small_graph(self, ray_session):
         from fancyrag_ray.functions.graph import degree_hist
