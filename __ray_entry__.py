@@ -344,6 +344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": T.chunk_documents,
         "token_stats_by_source": T.token_stats_by_source,
         "token_histogram": T.token_histogram,
+        "token_counts": T.token_counts,
         "term_mentions": T.term_mentions,
         "cooccurrence_edges": T.cooccurrence_edges,
         "dedup_exact": T.dedup_exact,
@@ -418,6 +419,8 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": T.CHUNK_DOCUMENTS_SQL,
         "token_stats_by_source": T.TOKEN_STATS_BY_SOURCE_SQL,
         "token_histogram": T.TOKEN_HISTOGRAM_SQL,
+        # whitespace + BPE-ish pre-tokenizer counts (same RE2 both sides)
+        "token_counts": T.TOKEN_COUNTS_SQL,
         "term_mentions": T.TERM_MENTIONS_SQL,
         "cooccurrence_edges": T.COOCCURRENCE_EDGES_SQL,
         "dedup_exact": T.DEDUP_EXACT_SQL,

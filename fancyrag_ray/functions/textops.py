@@ -103,6 +103,40 @@ SELECT source, COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS total_tokens, 
 FROM d GROUP BY source
 """
 
+# GPT-2-style pre-tokenizer, RE2-safe (no lookahead — Arrow and DuckDB
+# both run RE2, so match counts agree exactly): contraction suffixes,
+# space-prefixed letter runs, digit runs, punctuation runs, whitespace
+# runs. This is the "BPE-ish" token ESTIMATE of a real BPE vocab's
+# pre-tokenization pass, without shipping a merges table.
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def token_counts(sf_dir: str) -> rd.Dataset:
+    """Per-doc token counts under two tokenizers — whitespace words and
+    the BPE-ish pre-tokenizer above — both as single vectorized RE2
+    passes (``count_substring_regex``), both oracle-checked (DuckDB's
+    ``regexp_extract_all`` is the same RE2, so counts match exactly)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = pc.fill_null(t.column("text"), "")
+        ws = pc.count_substring_regex(texts, r"\S+").cast(pa.int64())
+        bpe = pc.count_substring_regex(texts, _BPE_RE).cast(pa.int64())
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "n_tokens_ws": ws, "n_tokens_bpe": bpe}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+TOKEN_COUNTS_SQL = f"""
+SELECT doc_id,
+       LEN(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens_ws,
+       LEN(regexp_extract_all(text, '{_BPE_RE.replace("'", "''")}'))::BIGINT AS n_tokens_bpe
+FROM documents
+"""
+
+
 _HIST_EDGES = [64, 128, 256, 512, 1024, 2048]
 
 

@@ -94,6 +94,31 @@ class TestQualityFns:
         out = LangId()(t)
         assert out.column("lang_pred").to_pylist() == ["en", "es"]
 
+    def test_bpe_token_counts_diverge_from_whitespace(self, ray_session, tmp_path):
+        """The BPE-ish pre-tokenizer splits contractions, punctuation
+        runs and digit/letter boundaries that whitespace counting
+        merges — pin the exact counts on a crafted doc."""
+        import pyarrow.parquet as pq
+
+        from fancyrag_ray.functions.textops import token_counts
+
+        texts = [
+            "plain space separated words",                  # ws == bpe
+            "don't stop, it's 2x faster (really)!",         # contractions + punct
+            "",                                              # empty
+        ]
+        t = pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()),
+             "text": pa.array(texts, pa.string())}
+        )
+        pq.write_table(t, tmp_path / "documents.parquet")
+        out = token_counts(str(tmp_path)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert out.loc[0, "n_tokens_ws"] == 4 and out.loc[0, "n_tokens_bpe"] == 4
+        # don |'t | stop |,| it |'s | 2 |x| faster | ( |really |)!
+        assert out.loc[1, "n_tokens_ws"] == 6
+        assert out.loc[1, "n_tokens_bpe"] == 12
+        assert out.loc[2, "n_tokens_ws"] == 0 and out.loc[2, "n_tokens_bpe"] == 0
+
     def test_rolling_fingerprint_deterministic_and_shift_invariant_min(self):
         from fancyrag_ray.functions.quality import rolling_fingerprint
 
