@@ -339,6 +339,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_customer": A.top_orders_per_customer,
         "order_price_quantiles": A.order_price_quantiles,
         "events_type_pivot": A.events_type_pivot,
+        "events_type_rollup": A.events_type_rollup,
+        "events_running_value": A.events_running_value,
         "stratified_sample_events": A.stratified_sample_events,
         # KG per-document stages (SURVEY §2.1-2.3, §2.7-2.8)
         "chunk_documents": T.chunk_documents,
@@ -415,6 +417,11 @@ def oracle_sql() -> dict[str, str]:
         "top_orders_per_customer": A.TOP_ORDERS_PER_CUSTOMER_SQL,
         "order_price_quantiles": A.ORDER_PRICE_QUANTILES_SQL,
         "events_type_pivot": A.EVENTS_TYPE_PIVOT_SQL,
+        # ROLLUP multi-level aggregate (raw rows scanned once, coarser
+        # levels re-reduce the finest); window running total in integer
+        # cents — both hash-exact vs their SQL mirrors
+        "events_type_rollup": A.EVENTS_TYPE_ROLLUP_SQL,
+        "events_running_value": A.EVENTS_RUNNING_VALUE_SQL,
         "stratified_sample_events": A.STRATIFIED_SAMPLE_EVENTS_SQL,
         "chunk_documents": T.CHUNK_DOCUMENTS_SQL,
         "token_stats_by_source": T.TOKEN_STATS_BY_SOURCE_SQL,

@@ -388,3 +388,170 @@ WHERE SUBSTR(MD5(CAST(event_id AS VARCHAR)), 1, 4) < (CASE {cases} ELSE '0000' E
 
 
 STRATIFIED_SAMPLE_EVENTS_SQL = _stratified_sql()
+
+
+# ---------------------------------------------------------------------------
+# per-key running total (window cumsum)
+# ---------------------------------------------------------------------------
+
+
+def keyed_running_total(
+    ds: "rd.Dataset",
+    by: str,
+    order: list[str],
+    value_col: str,
+    out_col: str = "running_cents",
+    num_partitions: int = 16,
+) -> "rd.Dataset":
+    """Per-key running total in deterministic ``order`` — the
+    ``SUM() OVER (PARTITION BY key ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)`` window, an operator Ray Data lacks. One hash shuffle on
+    the key, then a per-block vectorized sort + grouped cumsum (pandas).
+
+    The value is accumulated in INTEGER CENTS (``round(value·100)``):
+    left-to-right float accumulation is order-sensitive AND DuckDB's
+    windowed SUM may aggregate through a segment tree (different
+    association), so only integer math makes the oracle hash-exact —
+    the same trick ``rolling_window_aggregate`` uses.
+
+    Partitioning assumption (custom-operator contract): all rows of one
+    ``by`` key fit one block; a single hot key at web scale needs
+    time-sharding with carry-in offsets (shard partials are associative:
+    later shards add the sum of earlier shards — O(shards) carry rows).
+    """
+    import numpy as np
+
+    from ..util import hash_partitioned_combine
+
+    def block(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        cents = np.rint(df[value_col].to_numpy() * 100).astype(np.int64)
+        df = df.drop(columns=[value_col]).assign(_cents=cents)
+        df = df.sort_values([by, *order], kind="mergesort")
+        df[out_col] = df.groupby(by, sort=False)["_cents"].cumsum()
+        return pa.Table.from_pandas(df.drop(columns=["_cents"]), preserve_index=False)
+
+    return hash_partitioned_combine(ds, [by], block, num_partitions)
+
+
+def events_running_value(sf_dir: str) -> rd.Dataset:
+    """Driver query for ``keyed_running_total``: each event with the
+    user's cumulative value (integer cents) up to and including it,
+    ordered by (ts, event_id) — hash-exact vs the SQL window oracle."""
+    from ..util import adaptive_partitions
+
+    n = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return keyed_running_total(
+        ds, by="user_id", order=["ts", "event_id"], value_col="value",
+        num_partitions=adaptive_partitions(16, n_rows=n),
+    )
+
+
+EVENTS_RUNNING_VALUE_SQL = """
+SELECT event_id, user_id, ts,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+       ) AS BIGINT) AS running_cents
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP-style multi-level aggregate
+# ---------------------------------------------------------------------------
+
+
+def rollup_counts(
+    ds: "rd.Dataset",
+    keys: list[str],
+    value_col: str,
+    all_sentinel: str = "ALL",
+    num_partitions: int = 16,
+) -> "rd.Dataset":
+    """``GROUP BY ROLLUP(k1, k2, …)`` as a Dataset composition: the
+    FINEST level aggregates once from the raw rows (partial-per-block +
+    hash combine); every coarser level re-aggregates from the finest —
+    whose row count is bounded by the key-combination domain, ≪ rows —
+    so the raw data is scanned exactly once however many levels roll up.
+    Rolled-up key positions carry ``all_sentinel`` (the SQL mirror
+    COALESCEs its NULLs to the same sentinel for a hash-exact compare;
+    value sums ride as integer cents)."""
+    import numpy as np
+
+    from ..util import hash_partitioned_combine
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pa.array(
+            np.rint(t.column(value_col).to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        )
+        pt = pa.table({**{k: t.column(k) for k in keys}, "_c": cents})
+        g = pt.group_by(keys).aggregate([([], "count_all"), ("_c", "sum")])
+        return g.rename_columns([*keys, "n_rows", "sum_cents"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate([("n_rows", "sum"), ("sum_cents", "sum")])
+        return g.rename_columns([*keys, "n_rows", "sum_cents"])
+
+    finest = hash_partitioned_combine(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        keys, combine, num_partitions,
+    ).materialize()  # consumed once per rollup level
+
+    levels = [finest]
+    for lvl in range(len(keys) - 1, -1, -1):
+        kept = keys[:lvl]
+
+        def widen(t: pa.Table, _kept=tuple(kept)) -> pa.Table:
+            if _kept:
+                g = t.group_by(list(_kept)).aggregate([("n_rows", "sum"), ("sum_cents", "sum")])
+                g = g.rename_columns([*_kept, "n_rows", "sum_cents"])
+            else:
+                g = pa.table(
+                    {
+                        "n_rows": pa.array([pa.compute.sum(t.column("n_rows")).as_py() or 0], pa.int64()),
+                        "sum_cents": pa.array([pa.compute.sum(t.column("sum_cents")).as_py() or 0], pa.int64()),
+                    }
+                )
+            cols = {}
+            for k in keys:
+                if k in _kept:
+                    cols[k] = g.column(k)
+                else:
+                    cols[k] = pa.array([all_sentinel] * g.num_rows, pa.string())
+            cols["n_rows"] = g.column("n_rows")
+            cols["sum_cents"] = g.column("sum_cents")
+            return pa.table(cols)
+
+        # each coarser level re-reduces the FINEST table (small); one
+        # partition suffices — the finest level is already ≪ rows
+        levels.append(finest.repartition(1).map_batches(widen, batch_format="pyarrow", batch_size=None))
+    out = levels[0]
+    for extra in levels[1:]:
+        out = out.union(extra)
+    return out
+
+
+def events_type_rollup(sf_dir: str) -> rd.Dataset:
+    """Driver query for ``rollup_counts``: event counts + value cents by
+    (event_type, day), rolled up to (event_type) and the grand total —
+    DuckDB ``GROUP BY ROLLUP`` oracle with NULLs coalesced to 'ALL'."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def add_day(t: pa.Table) -> pa.Table:
+        day = pc.strftime(pc.floor_temporal(t.column("ts"), unit="day"), format="%Y-%m-%d")
+        return pa.table(
+            {"event_type": t.column("event_type"), "day": day, "value": t.column("value")}
+        )
+
+    return rollup_counts(ds.map_batches(add_day, batch_format="pyarrow"), ["event_type", "day"], "value")
+
+
+EVENTS_TYPE_ROLLUP_SQL = """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+       COUNT(*)::BIGINT AS n_rows,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY ROLLUP(event_type, strftime(date_trunc('day', ts), '%Y-%m-%d'))
+"""

@@ -266,14 +266,29 @@ def events_hourly(sf_dir: str) -> rd.Dataset:
         g = pt.group_by(["user_id", "hour"]).aggregate([([], "count_all"), ("value", "sum")])
         return g.rename_columns(["user_id", "hour", "n_events", "sum_value"])
 
-    out = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).groupby(["user_id", "hour"]).aggregate(
-        Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value")
-    )
-    return out.map_batches(
-        lambda t: t.set_column(
-            t.schema.get_field_index("sum_value"), "sum_value", pc.round(t.column("sum_value"), 2)
-        ),
-        batch_format="pyarrow",
+    # (user, hour) groups ≈ rows on bursty event data — the
+    # groups-as-numerous-as-rows case where the hash-partitioned combine
+    # beats the sort-based groupby (see util.hash_partitioned_combine)
+    from ..util import hash_partitioned_combine as _hpc
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "hour"]).aggregate([("n_events", "sum"), ("value_sum", "sum")])
+        g = g.rename_columns(["user_id", "hour", "n_events", "sum_value"])
+        return g.set_column(
+            g.schema.get_field_index("sum_value"), "sum_value", pc.round(g.column("sum_value"), 2)
+        )
+
+    n_rows = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+
+    def partial2(t: pa.Table) -> pa.Table:
+        g = partial(t)
+        return g.rename_columns(["user_id", "hour", "n_events", "value_sum"])
+
+    return _hpc(
+        ds.map_batches(partial2, batch_format="pyarrow", batch_size=None),
+        ["user_id", "hour"],
+        combine,
+        adaptive_partitions(16, n_rows=n_rows),
     )
 
 
@@ -770,7 +785,7 @@ def events_rolling_hour(sf_dir: str) -> rd.Dataset:
 
 EVENTS_ROLLING_HOUR_SQL = """
 SELECT event_id, user_id, ts,
-  sum(CAST(round(value * 100) AS BIGINT)) OVER w AS win_sum_cents,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS win_sum_cents,
   count(*) OVER w AS win_n
 FROM events
 WINDOW w AS (
