@@ -498,14 +498,17 @@ def rollup_counts(
         keys, combine, num_partitions,
     ).materialize()  # consumed once per rollup level
 
-    levels = [finest]
-    for lvl in range(len(keys) - 1, -1, -1):
-        kept = keys[:lvl]
-
-        def widen(t: pa.Table, _kept=tuple(kept)) -> pa.Table:
-            if _kept:
-                g = t.group_by(list(_kept)).aggregate([("n_rows", "sum"), ("sum_cents", "sum")])
-                g = g.rename_columns([*_kept, "n_rows", "sum_cents"])
+    # ALL coarser levels derive from the finest table in ONE pass over
+    # one block (the finest level is bounded by the key-combination
+    # domain, ≪ rows — re-reducing it per level would pay a whole
+    # execution round each)
+    def widen_all(t: pa.Table) -> pa.Table:
+        outs = []
+        for lvl in range(len(keys) - 1, -1, -1):
+            kept = keys[:lvl]
+            if kept:
+                g = t.group_by(kept).aggregate([("n_rows", "sum"), ("sum_cents", "sum")])
+                g = g.rename_columns([*kept, "n_rows", "sum_cents"])
             else:
                 g = pa.table(
                     {
@@ -515,21 +518,14 @@ def rollup_counts(
                 )
             cols = {}
             for k in keys:
-                if k in _kept:
-                    cols[k] = g.column(k)
-                else:
-                    cols[k] = pa.array([all_sentinel] * g.num_rows, pa.string())
+                cols[k] = g.column(k) if k in kept else pa.array([all_sentinel] * g.num_rows, pa.string())
             cols["n_rows"] = g.column("n_rows")
             cols["sum_cents"] = g.column("sum_cents")
-            return pa.table(cols)
+            outs.append(pa.table(cols))
+        return pa.concat_tables(outs)
 
-        # each coarser level re-reduces the FINEST table (small); one
-        # partition suffices — the finest level is already ≪ rows
-        levels.append(finest.repartition(1).map_batches(widen, batch_format="pyarrow", batch_size=None))
-    out = levels[0]
-    for extra in levels[1:]:
-        out = out.union(extra)
-    return out
+    coarser = finest.repartition(1).map_batches(widen_all, batch_format="pyarrow", batch_size=None)
+    return finest.union(coarser)
 
 
 def events_type_rollup(sf_dir: str) -> rd.Dataset:
