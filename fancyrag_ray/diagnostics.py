@@ -204,7 +204,10 @@ def _build_parser() -> argparse.ArgumentParser:
     pr = sub.add_parser("model-probe", help="Model client readiness probe")
     pr.add_argument("--root", default=".")
     pr.add_argument("--artifacts-dir", default=None)
-    pr.add_argument("--skip-live", action="store_true", default=True)
+    # default: no live call (no network in this environment); --live
+    # turns the real probe on when a transport exists
+    pr.add_argument("--live", dest="skip_live", action="store_false", default=True,
+                    help="attempt a live model call instead of the offline probe")
     pr.add_argument("--max-attempts", type=int, default=3)
     pr.add_argument("--backoff-seconds", type=float, default=0.5)
     return p

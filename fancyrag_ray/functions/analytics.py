@@ -205,7 +205,9 @@ def order_price_quantiles(sf_dir: str) -> rd.Dataset:
     ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
 
     def _cents(t: pa.Table) -> pa.Table:
-        cents = pc.round(pc.multiply(t.column("o_totalprice"), pa.scalar(100.0))).cast(pa.int64())
+        from ..util import to_cents
+
+        cents = pa.array(to_cents(t.column("o_totalprice").to_numpy(zero_copy_only=False)))
         return pa.table({"o_orderpriority": t.column("o_orderpriority"), "cents": cents})
 
     return grouped_quantile_exact(
@@ -425,7 +427,9 @@ def keyed_running_total(
 
     def block(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        cents = np.rint(df[value_col].to_numpy() * 100).astype(np.int64)
+        from ..util import to_cents
+
+        cents = to_cents(df[value_col].to_numpy())
         df = df.drop(columns=[value_col]).assign(_cents=cents)
         df = df.sort_values([by, *order], kind="mergesort")
         df[out_col] = df.groupby(by, sort=False)["_cents"].cumsum()
@@ -476,16 +480,19 @@ def rollup_counts(
     so the raw data is scanned exactly once however many levels roll up.
     Rolled-up key positions carry ``all_sentinel`` (the SQL mirror
     COALESCEs its NULLs to the same sentinel for a hash-exact compare;
-    value sums ride as integer cents)."""
+    value sums ride as integer cents). Key columns are cast to STRING in
+    the output — the sentinel needs a common type across levels, the
+    same reason a SQL mirror over non-string keys must
+    ``COALESCE(CAST(k AS VARCHAR), sentinel)``."""
     import numpy as np
 
     from ..util import hash_partitioned_combine
 
     def partial(t: pa.Table) -> pa.Table:
-        cents = pa.array(
-            np.rint(t.column(value_col).to_numpy(zero_copy_only=False) * 100).astype(np.int64)
-        )
-        pt = pa.table({**{k: t.column(k) for k in keys}, "_c": cents})
+        from ..util import to_cents
+
+        cents = pa.array(to_cents(t.column(value_col).to_numpy(zero_copy_only=False)))
+        pt = pa.table({**{k: t.column(k).cast(pa.string()) for k in keys}, "_c": cents})
         g = pt.group_by(keys).aggregate([([], "count_all"), ("_c", "sum")])
         return g.rename_columns([*keys, "n_rows", "sum_cents"])
 

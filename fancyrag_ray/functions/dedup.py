@@ -133,11 +133,14 @@ def minhash_lsh_duplicates(
     # of n_bands sha1 calls per doc. A mixed 63-bit int is a weaker hash
     # than sha1, but band keys only PROPOSE candidates: false-positive
     # collisions are discarded by the signature-estimate prefilter and
-    # the exact Jaccard verify, so the output is identical.
-    _mix = np.array(
-        [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5],
-        dtype=np.uint64,
-    )[:rows_per_band]
+    # the exact Jaccard verify, so the output is identical. One odd
+    # constant per signature row, generated for WHATEVER band geometry
+    # the caller picked (a fixed 4-entry list crashed rows_per_band > 4).
+    _mix_rng = np.random.default_rng(0x9E3779B9)
+    _mix = (
+        _mix_rng.integers(1, 1 << 63, size=rows_per_band, dtype=np.uint64) * np.uint64(2)
+        + np.uint64(1)
+    )
 
     def explode_bands(t: pa.Table) -> pa.Table:
         n = t.num_rows

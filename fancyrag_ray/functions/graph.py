@@ -271,17 +271,21 @@ def pagerank(
         # small anti-join aggregate.
         dangling = 0.0
         if not symmetric:
-            # rank mass on nodes with no out-edges: left-join outdeg and
-            # sum ranks where it is null (small scalar reduce).
-            d_ds = ranks_ds.map_batches(
-                lambda t: t.rename_columns(["src", "rank"]), batch_format="pyarrow"
-            ).join(outdeg, join_type="left_outer", num_partitions=nparts, on=("src",))
-            dangling = sum(
-                r
-                for b in d_ds.iter_batches(batch_format="pyarrow")
-                for r, od in zip(b.column("rank").to_pylist(), b.column("outdeg").to_pylist())
-                if od is None
+            # rank mass on nodes with no out-edges: left-join outdeg,
+            # keep null-outdeg rows, and reduce to ONE scalar with a
+            # distributed sum — this is the over-budget tier, so the
+            # driver must never iterate O(nodes) rows
+            d_ds = (
+                ranks_ds.map_batches(
+                    lambda t: t.rename_columns(["src", "rank"]), batch_format="pyarrow"
+                )
+                .join(outdeg, join_type="left_outer", num_partitions=nparts, on=("src",))
+                .map_batches(
+                    lambda t: t.filter(pc.is_null(t.column("outdeg"))).select(["rank"]),
+                    batch_format="pyarrow",
+                )
             )
+            dangling = d_ds.sum("rank") or 0.0
         joined = nodes.join(summed, join_type="left_outer", num_partitions=nparts, on=("node",))
         extra = damping * dangling / n_nodes
         ranks_ds = joined.map_batches(

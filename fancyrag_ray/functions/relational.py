@@ -449,17 +449,7 @@ def events_sessions_sharded(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
     gap = pd.Timedelta(minutes=gap_minutes)
     n_buckets = adaptive_partitions(64)
 
-    def _mix64(x: "np.ndarray") -> "np.ndarray":
-        # splitmix64 finalizer: vectorized avalanche so adjacent
-        # user/day ints spread across buckets (uint64 wraparound is the
-        # modular arithmetic, not an error)
-        x = x.astype(np.uint64, copy=True)
-        x ^= x >> np.uint64(33)
-        x *= np.uint64(0xFF51AFD7ED558CCD)
-        x ^= x >> np.uint64(33)
-        x *= np.uint64(0xC4CEB9FE1A85EC53)
-        x ^= x >> np.uint64(33)
-        return x
+    from ..util import mix64 as _mix64  # single shared splitmix64 finalizer
 
     def add_keys(t: pa.Table) -> pa.Table:
         day = pc.floor_temporal(t.column("ts"), unit="day")
@@ -675,11 +665,15 @@ def asof_join(
             return out_schema.empty_table()
         l = l.sort_values("__t", kind="mergesort")[["__k", "__t", *lcols]]
         r = r.sort_values(["__t", *rcols], kind="mergesort")[["__k", "__t", *rcols]]
+        # explicit match marker: filtering on a payload column's notna()
+        # would silently drop matched rows whose payload is legitimately
+        # null
+        r = r.assign(__m=np.int8(1))
         merged = pd.merge_asof(
             l, r, on="__t", by="__k", direction=direction, allow_exact_matches=True
         )
-        if how == "inner" and rcols:
-            merged = merged[merged[rcols[0]].notna()]
+        if how == "inner":
+            merged = merged[merged["__m"].notna()]
         arrays = [
             pa.Array.from_pandas(merged[c], type=out_schema.field(c).type) for c in out_schema.names
         ]
@@ -761,7 +755,9 @@ def events_rolling_hour(sf_dir: str) -> rd.Dataset:
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
     def _cents(t: pa.Table) -> pa.Table:
-        cents = pc.round(pc.multiply(t.column("value"), pa.scalar(100.0))).cast(pa.int64())
+        from ..util import to_cents
+
+        cents = pa.array(to_cents(t.column("value").to_numpy(zero_copy_only=False)))
         return pa.table(
             {
                 "event_id": t.column("event_id"),

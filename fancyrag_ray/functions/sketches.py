@@ -285,17 +285,7 @@ def approx_quantiles(
     return {float(q): merged.quantile(float(q)) for q in quantiles}
 
 
-def _mix64(x: np.ndarray) -> np.ndarray:
-    # splitmix64 finalizer (same avalanche as relational.add_keys uses
-    # for session bucketing): uint64 wraparound is the modular
-    # arithmetic, not an error
-    x = x.astype(np.uint64, copy=True)
-    x ^= x >> np.uint64(33)
-    x *= np.uint64(0xFF51AFD7ED558CCD)
-    x ^= x >> np.uint64(33)
-    x *= np.uint64(0xC4CEB9FE1A85EC53)
-    x ^= x >> np.uint64(33)
-    return x
+from ..util import mix64 as _mix64  # single shared splitmix64 finalizer
 
 
 def _hash_column(arr) -> np.ndarray:

@@ -115,6 +115,33 @@ def adaptive_partitions(requested: int, minimum: int = 2, n_rows: int | None = N
     return parts
 
 
+def mix64(x) -> "object":
+    """Vectorized splitmix64 finalizer over a uint64 numpy array —
+    THE shared partition-hash mixer (sessionization bucketing, Bloom
+    probe hashing, …). One definition: tiered paths that hash the same
+    keys in two places stay consistent only if both import this."""
+    import numpy as np
+
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xC4CEB9FE1A85EC53)
+    x ^= x >> np.uint64(33)
+    return x
+
+
+def to_cents(values) -> "object":
+    """float currency → int64 cents with HALF-AWAY-FROM-ZERO rounding —
+    matching SQL ROUND so integer-cents oracles are hash-exact on exact
+    .5 inputs too (np.rint / pc.round are half-to-even and disagree with
+    DuckDB by one cent there)."""
+    import numpy as np
+
+    v = np.asarray(values, dtype=np.float64) * 100.0
+    return np.trunc(v + np.copysign(0.5, v)).astype(np.int64)
+
+
 def tiered_anti_join(
     left: rd.Dataset,
     left_key: str,
@@ -155,7 +182,11 @@ def tiered_anti_join(
 
         return left.map_batches(anti, batch_format="pyarrow")
 
-    if n_right * bits_per_key / 8 <= budget:
+    # budget the ROUNDED bitmap (BloomFilter sizes to the next power of
+    # two, up to ~2× the raw bits/key estimate), not the estimate
+    want_bits = max(64, n_right * bits_per_key)
+    bloom_bytes = (1 << int(want_bits - 1).bit_length()) // 8
+    if bloom_bytes <= budget:
         from .functions.sketches import BloomFilter, _hash_column, build_bloom
 
         bloom = build_bloom(keys_ds, right_key, n_right, bits_per_key)

@@ -156,7 +156,6 @@ class TestStratifiedSample:
             if hashlib.md5(str(i).encode()).hexdigest()[:4] < _hash_threshold(rates[s])
         }
         assert set(out["id"]) == expect
-        assert all(s == "keep" or True for s in out["s"])
         # every "keep" row survives (threshold 10000bp ⇒ '10000' > 'ffff')
         assert sum(1 for s in out["s"] if s == "keep") == 100
 
@@ -166,3 +165,32 @@ class TestStratifiedSample:
             rd.from_arrow(t), strata_col="s", id_col="id", rates_bp={"x": 10000}
         ).to_pandas()
         assert len(out) == 0
+
+
+class TestRollupAndRunningTotal:
+    def test_rollup_int_keys(self, ray_session):
+        """Regression: rolled-up sentinel positions are strings; int key
+        columns must cast cleanly instead of breaking the level union."""
+        import ray.data as rd
+
+        from fancyrag_ray.functions.analytics import rollup_counts
+
+        t = pa.table(
+            {
+                "region_id": pa.array([1, 1, 2], pa.int64()),
+                "day": pa.array(["d1", "d2", "d1"], pa.string()),
+                "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+            }
+        )
+        out = rollup_counts(rd.from_arrow(t), ["region_id", "day"], "value").to_pandas()
+        rows = {(r.region_id, r.day): (r.n_rows, r.sum_cents) for r in out.itertuples()}
+        assert rows[("1", "d1")] == (1, 100)
+        assert rows[("1", "ALL")] == (2, 300)
+        assert rows[("ALL", "ALL")] == (3, 600)
+
+    def test_running_total_half_away_rounding(self, ray_session):
+        """to_cents rounds .5 away from zero like SQL ROUND (np.rint's
+        half-to-even would give 812 for 8.125)."""
+        from fancyrag_ray.util import to_cents
+
+        assert list(to_cents([8.125, -8.125, 6.55, 0.0])) == [813, -813, 655, 0]

@@ -151,6 +151,18 @@ class TestNearDup:
         assert clusters.get("b") == "a"  # near-dup joins the cluster
         assert "c" not in clusters  # distinct doc untouched
 
+    def test_minhash_arbitrary_band_geometry(self, planted, ray_session):
+        """Regression: the vectorized band mixer must handle ANY
+        rows_per_band (a fixed 4-constant list crashed n_hashes=64,
+        n_bands=8 ⇒ rows_per_band=8 with a numpy broadcast error)."""
+        from fancyrag_ray.functions.dedup import minhash_lsh_duplicates
+
+        out = minhash_lsh_duplicates(
+            rd.from_arrow(planted), n_hashes=64, n_bands=8, jaccard_threshold=0.7
+        ).to_pandas()
+        clusters = dict(zip(out["doc_id"], out["keep"]))
+        assert clusters.get("a2") == "a"
+
     def test_simhash_finds_planted(self, planted, ray_session):
         from fancyrag_ray.functions.dedup import simhash_duplicates
 
@@ -218,6 +230,30 @@ class TestAsofJoin:
         assert out.loc[2, "payload"] == "b"
         assert set(out.index) == {1, 2}
         assert out.loc[1, "t2"] == 100  # the right's on column rides along
+
+    def test_inner_keeps_matched_rows_with_null_payload(self, ray_session):
+        """Regression: inner-match detection used notna() of the first
+        payload column, dropping matched rows whose payload is
+        legitimately null."""
+        from fancyrag_ray.functions.relational import asof_join
+
+        left = rd.from_arrow(
+            pa.table({"lid": [1], "k": [10], "t": pa.array([150], pa.int64())})
+        )
+        right = rd.from_arrow(
+            pa.table(
+                {
+                    "k2": [10],
+                    "t2": pa.array([100], pa.int64()),
+                    "payload": pa.array([None], pa.string()),
+                }
+            )
+        )
+        out = asof_join(
+            left, right, on="t", by="k", right_on="t2", right_by="k2", num_partitions=1
+        ).to_pandas()
+        assert len(out) == 1  # matched, even though payload is null
+        assert out.loc[0, "payload"] is None or out.loc[0, "payload"] != out.loc[0, "payload"]
 
     def test_forward_direction(self, ray_session):
         from fancyrag_ray.functions.relational import asof_join
