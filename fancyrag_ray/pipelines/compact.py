@@ -30,6 +30,7 @@ import ray.data as rd
 
 from ..sources.io import read_table, write_table
 from ..stages.materialize import tree_aggregate
+from ..state.versioned import VersionedStore
 
 
 def _merge_nodes(batch: pa.Table) -> pa.Table:
@@ -287,11 +288,13 @@ def read_store_table(store_dir: str, table: str) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 
-class IncrementalStore:
+class IncrementalStore(VersionedStore):
+    """Hash-bucketed node/edge store on the shared crash-safe
+    versioned-store protocol (``state/versioned.py``)."""
+
     def __init__(self, store_dir: str, n_buckets: int = 64):
-        self.root = store_dir
-        os.makedirs(os.path.join(store_dir, "versions"), exist_ok=True)
-        meta = self._current_journal()
+        super().__init__(store_dir)
+        meta = self.journal()
         if meta is not None and meta.get("n_buckets") != n_buckets:
             raise ValueError(
                 f"store was bucketed with n_buckets={meta.get('n_buckets')}; "
@@ -299,29 +302,9 @@ class IncrementalStore:
             )
         self.n_buckets = n_buckets
 
-    # -- pointer / journal --------------------------------------------------
-
-    def _current_name(self) -> str | None:
-        cur = os.path.join(self.root, "CURRENT")
-        if not os.path.exists(cur):
-            return None
-        with open(cur) as f:
-            return f.read().strip() or None
-
-    def current_dir(self) -> str | None:
-        name = self._current_name()
-        return os.path.join(self.root, "versions", name) if name else None
-
+    # back-compat alias (pre-refactor private name)
     def _current_journal(self) -> dict | None:
-        d = self.current_dir()
-        if d is None:
-            return None
-        with open(os.path.join(d, "journal.json")) as f:
-            return json.load(f)
-
-    def ingested_keys(self) -> list[str]:
-        meta = self._current_journal()
-        return list(meta["ingests"]) if meta else []
+        return self.journal()
 
     # -- tables -------------------------------------------------------------
 
@@ -336,14 +319,12 @@ class IncrementalStore:
     def ingest(self, nodes_new: rd.Dataset, edges_new: rd.Dataset, key: str) -> dict:
         """Apply one run's (already partially-reduced) nodes/edges under
         an idempotency ``key``. Re-ingesting a journaled key is a no-op."""
-        meta = self._current_journal()
+        meta = self.journal()
         if meta and key in meta["ingests"]:
             return {**meta, "status": "already_ingested"}
         version = (meta["version"] + 1) if meta else 1
         cur = self.current_dir()
-        stage = os.path.join(self.root, "versions", f".staging-v{version:05d}")
-        shutil.rmtree(stage, ignore_errors=True)
-        os.makedirs(stage)
+        stage = self.begin(version)
         stats = {}
         for name, ds_new, keys, merge in (
             ("nodes", nodes_new, _NODE_KEYS, _merge_nodes_b),
@@ -359,21 +340,5 @@ class IncrementalStore:
             "n_buckets": self.n_buckets,
             "ingests": (meta["ingests"] if meta else []) + [key],
         }
-        with open(os.path.join(stage, "journal.json"), "w") as f:
-            json.dump(journal, f, sort_keys=True)
-        final = os.path.join(self.root, "versions", f"v{version:05d}")
-        shutil.rmtree(final, ignore_errors=True)  # stale from a crashed attempt
-        os.rename(stage, final)
-        # THE commit point: one atomic pointer flip
-        tmp = os.path.join(self.root, ".CURRENT.tmp")
-        with open(tmp, "w") as f:
-            f.write(f"v{version:05d}")
-        os.replace(tmp, os.path.join(self.root, "CURRENT"))
-        self._gc(keep=f"v{version:05d}")
+        self.commit(stage, version, journal)
         return {**journal, "status": "ingested", "stats": stats}
-
-    def _gc(self, keep: str) -> None:
-        vroot = os.path.join(self.root, "versions")
-        for name in os.listdir(vroot):
-            if name != keep:
-                shutil.rmtree(os.path.join(vroot, name), ignore_errors=True)

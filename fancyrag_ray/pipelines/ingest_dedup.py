@@ -53,6 +53,7 @@ from ..util import (
     fits_broadcast,
     hash_partitioned_combine,
 )
+from ..state.versioned import VersionedStore
 from .compact import _bucket_column, _hardlink_tree
 
 
@@ -78,15 +79,14 @@ def _keep_first_per_key(key_col: str, order_col: str):
     return f
 
 
-class SeenKeyStore:
-    """Versioned, hash-bucketed store of already-ingested keys (layout
-    conventions shared with ``compact.IncrementalStore``: ``versions/``
-    + atomic ``CURRENT`` pointer + idempotency journal)."""
+class SeenKeyStore(VersionedStore):
+    """Versioned, hash-bucketed store of already-ingested keys on the
+    shared crash-safe versioned-store protocol (``state/versioned.py``,
+    same machinery as ``compact.IncrementalStore``)."""
 
     def __init__(self, root: str, key_col: str, n_buckets: int = 64):
-        self.root = root
-        os.makedirs(os.path.join(root, "versions"), exist_ok=True)
-        meta = self._journal()
+        super().__init__(root)
+        meta = self.journal()
         if meta is not None:
             if meta["n_buckets"] != n_buckets or meta["key_col"] != key_col:
                 raise ValueError(
@@ -98,29 +98,9 @@ class SeenKeyStore:
         self.n_buckets = n_buckets
         self.last_stats: dict = {}
 
-    # -- version pointer ----------------------------------------------------
-
-    def _current_name(self) -> str | None:
-        cur = os.path.join(self.root, "CURRENT")
-        if not os.path.exists(cur):
-            return None
-        with open(cur) as f:
-            return f.read().strip() or None
-
-    def current_dir(self) -> str | None:
-        name = self._current_name()
-        return os.path.join(self.root, "versions", name) if name else None
-
+    # back-compat alias (pre-refactor private name)
     def _journal(self) -> dict | None:
-        d = self.current_dir()
-        if d is None:
-            return None
-        with open(os.path.join(d, "journal.json")) as f:
-            return json.load(f)
-
-    def ingested_keys(self) -> list[str]:
-        meta = self._journal()
-        return list(meta["ingests"]) if meta else []
+        return self.journal()
 
     # -- read side ----------------------------------------------------------
 
@@ -226,14 +206,12 @@ class SeenKeyStore:
         """Commit ``fresh``'s keys under an idempotency ``ingest_key``;
         re-ingesting a journaled key is a no-op. Only delta-touched
         buckets are rewritten; the rest hardlink into the new version."""
-        meta = self._journal()
+        meta = self.journal()
         if meta and ingest_key in meta["ingests"]:
             return {**meta, "status": "already_ingested"}
         version = (meta["version"] + 1) if meta else 1
         cur = self.current_dir()
-        stage = os.path.join(self.root, "versions", f".staging-v{version:05d}")
-        shutil.rmtree(stage, ignore_errors=True)
-        os.makedirs(stage)
+        stage = self.begin(version)
 
         stats = self._merge_touched_buckets(
             fresh.select_columns([self.key_col]),
@@ -246,18 +224,7 @@ class SeenKeyStore:
             "key_col": self.key_col,
             "ingests": (meta["ingests"] if meta else []) + [ingest_key],
         }
-        with open(os.path.join(stage, "journal.json"), "w") as f:
-            json.dump(journal, f, sort_keys=True)
-        final = os.path.join(self.root, "versions", f"v{version:05d}")
-        shutil.rmtree(final, ignore_errors=True)  # stale crashed attempt
-        os.rename(stage, final)
-        tmp = os.path.join(self.root, ".CURRENT.tmp")
-        with open(tmp, "w") as f:
-            f.write(f"v{version:05d}")
-        os.replace(tmp, os.path.join(self.root, "CURRENT"))  # THE commit point
-        for name in os.listdir(os.path.join(self.root, "versions")):
-            if name != f"v{version:05d}":
-                shutil.rmtree(os.path.join(self.root, "versions", name), ignore_errors=True)
+        self.commit(stage, version, journal)
         return {**journal, "status": "ingested", "stats": stats}
 
 
