@@ -296,6 +296,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return f(sf_dir)
 
+    def entity_components(sf_dir: str):
+        """Connected components (hash-min contract) over the flagship
+        edges — the canonicalizer's CC primitive oracle-checked
+        end-to-end vs a recursive-CTE transitive closure."""
+        from fancyrag_ray.functions.graph import entity_components as f
+
+        return f(sf_dir)
+
     def entity_pagerank(sf_dir: str):
         """Symmetric PageRank over the flagship CO_OCCURS edges, top-20
         by rank. Iterative/float — rows-only driver check; equivalence
@@ -374,6 +382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # graph analytics over the flagship KG
         "entity_degree_hist": entity_degree_hist,
         "entity_triangles": entity_triangles,
+        "entity_components": entity_components,
         "entity_pagerank": entity_pagerank,
         # flagship end-to-end on driver data (no SQL oracle: multi-stage)
         "kg_flagship_edges": kg_flagship_edges,
@@ -446,6 +455,8 @@ def oracle_sql() -> dict[str, str]:
         # per-entity triangle counts through the full DAG (three-way
         # self-join of the flagship edge CTE)
         "entity_triangles": G.entity_triangles_sql(),
+        # connected components vs a recursive-CTE transitive closure
+        "entity_components": G.entity_components_sql(),
         # end-to-end flagship: chunk→extract→link→edge-reduce vs SQL
         "kg_flagship_edges": T.KG_FLAGSHIP_EDGES_SQL,
         # full LLM actor path vs per-chunk pair expansion (deterministic

@@ -496,6 +496,44 @@ def entity_triangles_sql() -> str:
     return ENTITY_TRIANGLES_SQL_TEMPLATE.format(edges_sql=KG_FLAGSHIP_EDGES_SQL)
 
 
+def entity_components(sf_dir: str) -> rd.Dataset:
+    """Connected components over the flagship KG edges → (node,
+    component) with component = the component's minimum node id — the
+    same hash-min contract the canonicalizer and the near-dup cluster
+    reducers rely on, here surfaced as a driver query and
+    ORACLE-CHECKED end-to-end: the DuckDB mirror computes the
+    transitive closure with a recursive CTE (fine at oracle scale; the
+    Ray side is the production tiered CC — driver union-find /
+    contraction / label propagation)."""
+    from ..stages.canonicalize import connected_components
+
+    edges = _flagship_edges(sf_dir)
+    return connected_components(edges, src_col="src_id", dst_col="dst_id")
+
+
+ENTITY_COMPONENTS_SQL_TEMPLATE = """
+WITH RECURSIVE edges AS ({edges_sql}),
+und AS (
+  SELECT src_id AS a, dst_id AS b FROM edges
+  UNION
+  SELECT dst_id AS a, src_id AS b FROM edges
+),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b
+)
+SELECT a AS node, LEAST(a, MIN(b)) AS component
+FROM reach GROUP BY a
+"""
+
+
+def entity_components_sql() -> str:
+    from .textops import KG_FLAGSHIP_EDGES_SQL
+
+    return ENTITY_COMPONENTS_SQL_TEMPLATE.format(edges_sql=KG_FLAGSHIP_EDGES_SQL)
+
+
 def entity_pagerank(sf_dir: str, top: int = 20) -> rd.Dataset:
     """Entity importance over the flagship KG: symmetric PageRank on the
     CO_OCCURS edge table; top-``top`` nodes by rank (rank desc, node asc
