@@ -356,6 +356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_histogram": T.token_histogram,
         "token_counts": T.token_counts,
         "term_mentions": T.term_mentions,
+        "doc_term_list": T.doc_term_list,
         "cooccurrence_edges": T.cooccurrence_edges,
         "dedup_exact": T.dedup_exact,
         "quality_scores": T.quality_scores,
@@ -438,6 +439,9 @@ def oracle_sql() -> dict[str, str]:
         # whitespace + BPE-ish pre-tokenizer counts (same RE2 both sides)
         "token_counts": T.TOKEN_COUNTS_SQL,
         "term_mentions": T.TERM_MENTIONS_SQL,
+        # grouped string aggregation (collect_list/LISTAGG) with
+        # deterministic in-group order → hash-exact string_agg mirror
+        "doc_term_list": T.DOC_TERM_LIST_SQL,
         "cooccurrence_edges": T.COOCCURRENCE_EDGES_SQL,
         "dedup_exact": T.DEDUP_EXACT_SQL,
         "quality_scores": T.QUALITY_SCORES_SQL,

@@ -197,6 +197,57 @@ def _mentions_sql() -> str:
 TERM_MENTIONS_SQL = _mentions_sql()
 
 
+def doc_term_list(sf_dir: str) -> rd.Dataset:
+    """Grouped string aggregation (collect_list / LISTAGG — the one
+    aggregate shape Ray Data's built-ins lack): per doc, the sorted
+    comma-joined vocabulary terms it mentions, plus the term count.
+    One hash co-partition on doc_id, then a per-block vectorized pandas
+    sort + groupby-join; deterministic ordering (term asc) makes the
+    DuckDB ``string_agg(... ORDER BY ...)`` mirror hash-exact."""
+    from ..util import adaptive_partitions, hash_partitioned_combine
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    mentions = ds.map_batches(
+        TermMentionExtractor, batch_format="pyarrow", batch_size=2048, concurrency=(1, 4), num_cpus=1
+    )
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "terms": pa.array([], pa.string()),
+                    "n_terms": pa.array([], pa.int64()),
+                }
+            )
+        df = t.to_pandas().sort_values(["doc_id", "term"], kind="mergesort")
+        g = df.groupby("doc_id", sort=False)["term"].agg([("terms", ",".join), ("n_terms", "size")])
+        g = g.reset_index()
+        g["n_terms"] = g["n_terms"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return hash_partitioned_combine(
+        mentions.select_columns(["doc_id", "term"]),
+        ["doc_id"],
+        block,
+        adaptive_partitions(16, n_rows=n),
+    )
+
+
+def _doc_term_list_sql() -> str:
+    return f"""
+WITH mentions AS ({_mentions_sql()})
+SELECT doc_id,
+       string_agg(term, ',' ORDER BY term) AS terms,
+       COUNT(*)::BIGINT AS n_terms
+FROM mentions GROUP BY doc_id
+"""
+
+
+DOC_TERM_LIST_SQL = _doc_term_list_sql()
+
+
 def cooccurrence_edges(sf_dir: str) -> rd.Dataset:
     """Doc-level term co-occurrence graph (relation-extraction shape):
     for each unordered vocab-term pair, the number of docs mentioning
