@@ -349,6 +349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_pivot": A.events_type_pivot,
         "events_type_rollup": A.events_type_rollup,
         "events_running_value": A.events_running_value,
+        "pack_documents": A.pack_documents,
         "stratified_sample_events": A.stratified_sample_events,
         # KG per-document stages (SURVEY §2.1-2.3, §2.7-2.8)
         "chunk_documents": T.chunk_documents,
@@ -432,6 +433,9 @@ def oracle_sql() -> dict[str, str]:
         # cents — both hash-exact vs their SQL mirrors
         "events_type_rollup": A.EVENTS_TYPE_ROLLUP_SQL,
         "events_running_value": A.EVENTS_RUNNING_VALUE_SQL,
+        # sequence packing on a hierarchical global prefix sum vs the
+        # global SUM OVER window
+        "pack_documents": A.PACK_DOCUMENTS_SQL,
         "stratified_sample_events": A.STRATIFIED_SAMPLE_EVENTS_SQL,
         "chunk_documents": T.CHUNK_DOCUMENTS_SQL,
         "token_stats_by_source": T.TOKEN_STATS_BY_SOURCE_SQL,

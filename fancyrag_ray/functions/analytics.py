@@ -558,3 +558,129 @@ SELECT COALESCE(event_type, 'ALL') AS event_type,
 FROM events
 GROUP BY ROLLUP(event_type, strftime(date_trunc('day', ts), '%Y-%m-%d'))
 """
+
+
+# ---------------------------------------------------------------------------
+# global prefix sum + sequence packing
+# ---------------------------------------------------------------------------
+
+
+def global_running_total(
+    ds: "rd.Dataset",
+    order_col: str,
+    value_col: str,
+    out_col: str = "running",
+    bucket_width: int = 4096,
+    num_partitions: int = 16,
+) -> "rd.Dataset":
+    """GLOBAL running total over an INTEGER ordering key — the
+    ``SUM() OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)`` window with no
+    partition key, which no single hash shuffle can produce. Classic
+    hierarchical prefix sum:
+
+      1. coarse bucket sums (``k // bucket_width``) reduce
+         partial-per-block then combine — one small shuffle over
+         O(key_range / bucket_width) rows;
+      2. the bucket table prefix-sums on the DRIVER (O(#buckets) —
+         documented bound; size ``bucket_width`` so #buckets stays
+         driver-friendly at the target scale) and broadcasts once;
+      3. rows hash-partition by bucket; each block sorts its buckets
+         and adds within-bucket cumsum to the broadcast bucket offset.
+
+    The ordering key must be integer and unique (ties would make the
+    window non-deterministic; the oracle orders by the same key).
+    """
+    import ray
+
+    from ..util import hash_partitioned_combine
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.divide(t.column(order_col), pa.scalar(bucket_width)).cast(pa.int64())
+        return t.append_column("_bkt", b)
+
+    withb = ds.map_batches(add_bucket, batch_format="pyarrow").materialize()
+
+    def bsum_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["_bkt", value_col]).group_by(["_bkt"]).aggregate([(value_col, "sum")])
+        return g.rename_columns(["_bkt", "s"])
+
+    def bsum_combine(t: pa.Table) -> pa.Table:
+        return t.group_by(["_bkt"]).aggregate([("s", "sum")]).rename_columns(["_bkt", "s"])
+
+    bsums = hash_partitioned_combine(
+        withb.map_batches(bsum_partial, batch_format="pyarrow", batch_size=None),
+        ["_bkt"], bsum_combine, max(1, num_partitions // 4),
+    )
+    btbl = pa.concat_tables(list(bsums.iter_batches(batch_format="pyarrow")))
+    order = pc.array_sort_indices(btbl.column("_bkt"))
+    bkts = pc.take(btbl.column("_bkt"), order).to_numpy(zero_copy_only=False)
+    sums = pc.take(btbl.column("s"), order).to_numpy(zero_copy_only=False)
+    offsets = np.concatenate([[0], np.cumsum(sums)[:-1]])  # exclusive prefix
+    off_map_ref = ray.put((bkts, offsets))
+
+    def within(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.drop_columns(["_bkt"]).append_column(out_col, pa.array([], pa.int64()))
+        bk, off = ray.get(off_map_ref)
+        df = t.to_pandas().sort_values([ "_bkt", order_col], kind="mergesort")
+        cum = df.groupby("_bkt", sort=False)[value_col].cumsum()
+        idx = np.searchsorted(bk, df["_bkt"].to_numpy())
+        df[out_col] = cum.to_numpy() + off[idx]
+        return pa.Table.from_pandas(df.drop(columns=["_bkt"]), preserve_index=False)
+
+    return hash_partitioned_combine(withb, ["_bkt"], within, num_partitions)
+
+
+def pack_documents(sf_dir: str, budget_tokens: int = 1024) -> rd.Dataset:
+    """Sequence PACKING — the LLM-training batcher: documents in
+    deterministic doc_id order are laid head-to-tail on a global token
+    tape (token estimate = the reference's ``max(1, ceil(len/4))``,
+    same as ``token_stats_by_source``), and each doc's pack is the
+    ``budget_tokens``-sized bin its START offset falls in (contiguous
+    packing with overflow — long docs straddle into the next bin, the
+    streaming-friendly contract a separate splitter then chunks).
+    Built on :func:`global_running_total`; hash-exact vs the SQL
+    global-window mirror."""
+    from ..util import adaptive_partitions
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        n = pc.utf8_length(t.column("text")).cast(pa.float64())
+        est = pc.max_element_wise(
+            pc.ceil(pc.divide(n, pa.scalar(4.0))), pa.scalar(1.0)
+        ).cast(pa.int64())
+        return pa.table({"doc_id": t.column("doc_id"), "n_tokens": est})
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    cum = global_running_total(
+        docs.map_batches(toks, batch_format="pyarrow"),
+        order_col="doc_id", value_col="n_tokens", out_col="cum_tokens",
+        num_partitions=adaptive_partitions(16, n_rows=n),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        start = pc.subtract(t.column("cum_tokens"), t.column("n_tokens"))
+        pack = pc.divide(start, pa.scalar(budget_tokens)).cast(pa.int64())
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": t.column("n_tokens"),
+                "pack_id": pack,
+            }
+        )
+
+    return cum.map_batches(finish, batch_format="pyarrow")
+
+
+PACK_DOCUMENTS_SQL = """
+WITH d AS (
+  SELECT doc_id, GREATEST(1, CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT)) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM d
+)
+SELECT doc_id, n_tokens, (cum - n_tokens) // 1024 AS pack_id FROM c
+"""

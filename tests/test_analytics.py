@@ -194,3 +194,27 @@ class TestRollupAndRunningTotal:
         from fancyrag_ray.util import to_cents
 
         assert list(to_cents([8.125, -8.125, 6.55, 0.0])) == [813, -813, 655, 0]
+
+
+class TestGlobalRunningTotal:
+    def test_matches_numpy_cumsum_across_buckets(self, ray_session):
+        """Hierarchical prefix sum (bucket sums → driver prefix →
+        within-bucket cumsum) equals a direct global cumsum, across
+        many buckets and partitions, with gaps in the key space."""
+        import numpy as np
+        import ray.data as rd
+
+        from fancyrag_ray.functions.analytics import global_running_total
+
+        rng = np.random.default_rng(11)
+        ids = np.sort(rng.choice(200_000, size=20_000, replace=False)).astype(np.int64)
+        vals = rng.integers(1, 100, size=len(ids)).astype(np.int64)
+        t = pa.table({"k": pa.array(ids), "v": pa.array(vals)})
+        out = (
+            global_running_total(
+                rd.from_arrow(t).repartition(8), order_col="k", value_col="v",
+                out_col="c", bucket_width=1024, num_partitions=4,
+            )
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        assert out["c"].to_numpy().tolist() == np.cumsum(vals).tolist()
