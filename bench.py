@@ -293,6 +293,17 @@ def main() -> None:
             "dedup_incremental_documents": timed(
                 __import__("__ray_entry__").queries()["dedup_incremental_documents"]
             ),
+            # round-3 second-session operators
+            "events_running_value": timed(A.events_running_value),
+            "events_type_rollup": timed(A.events_type_rollup),
+            "pack_documents": timed(A.pack_documents),
+            "lang_id_documents": timed(
+                __import__("fancyrag_ray.functions.quality", fromlist=["q"]).lang_id_documents
+            ),
+            "entity_triangles": timed(
+                __import__("fancyrag_ray.functions.graph", fromlist=["g"]).entity_triangles
+            ),
+            "doc_term_list": timed(T.doc_term_list),
         }
 
     print(json.dumps({
