@@ -570,7 +570,8 @@ def global_running_total(
     order_col: str,
     value_col: str,
     out_col: str = "running",
-    bucket_width: int = 4096,
+    bucket_width: int | None = None,
+    key_range: int | None = None,
     num_partitions: int = 16,
 ) -> "rd.Dataset":
     """GLOBAL running total over an INTEGER ordering key — the
@@ -589,10 +590,20 @@ def global_running_total(
 
     The ordering key must be integer and unique (ties would make the
     window non-deterministic; the oracle orders by the same key).
+
+    ``bucket_width`` defaults from ``key_range`` (pass the key span —
+    e.g. from parquet column statistics, no execution needed) so the
+    driver-side bucket table stays ≤ ~1M entries at ANY scale: a fixed
+    width that is fine at 10^4 keys would put 10^8 buckets on the
+    driver at 10^12.
     """
     import ray
 
     from ..util import hash_partitioned_combine
+
+    if bucket_width is None:
+        span = key_range if key_range is not None else 4096
+        bucket_width = max(4096, -(-int(span) // 1_000_000))  # ceil → ≤1M buckets
 
     def add_bucket(t: pa.Table) -> pa.Table:
         b = pc.divide(t.column(order_col), pa.scalar(bucket_width)).cast(pa.int64())
@@ -652,10 +663,17 @@ def pack_documents(sf_dir: str, budget_tokens: int = 1024) -> rd.Dataset:
         ).cast(pa.int64())
         return pa.table({"doc_id": t.column("doc_id"), "n_tokens": est})
 
-    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    meta = pq.read_metadata(f"{sf_dir}/documents.parquet")
+    n = meta.num_rows
+    # key span from the parquet column statistics — sizes the prefix-sum
+    # bucket width with zero execution
+    idx = pq.read_schema(f"{sf_dir}/documents.parquet").get_field_index("doc_id")
+    lo = min(meta.row_group(g).column(idx).statistics.min for g in range(meta.num_row_groups))
+    hi = max(meta.row_group(g).column(idx).statistics.max for g in range(meta.num_row_groups))
     cum = global_running_total(
         docs.map_batches(toks, batch_format="pyarrow"),
         order_col="doc_id", value_col="n_tokens", out_col="cum_tokens",
+        key_range=int(hi) - int(lo) + 1,
         num_partitions=adaptive_partitions(16, n_rows=n),
     )
 
