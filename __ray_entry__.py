@@ -72,6 +72,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         return ngram_jaccard_duplicates(docs, jaccard_threshold=0.8)
 
+    def decontaminate_documents(sf_dir: str):
+        """Benchmark decontamination: flag corpus docs sharing any
+        8-word shingle with the md5-sampled held-out set — hash-exact
+        vs the DuckDB shingle-join mirror."""
+        import ray.data as rd
+
+        from fancyrag_ray.functions.dedup import decontaminate_documents as f
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        return f(docs)
+
     def dedup_incremental_documents(sf_dir: str):
         """Cross-run incremental exact dedup (the O(delta) re-crawl
         path): run A (even doc_ids) ingests its checksums into a
@@ -378,6 +389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_minhash": near_dup_minhash,
         "near_dup_simhash": near_dup_simhash,
         "near_dup_ngram_jaccard": near_dup_ngram_jaccard,
+        "decontaminate_documents": decontaminate_documents,
         "approx_distinct_customers": approx_distinct_customers,
         "approx_top_sources": approx_top_sources,
         "approx_price_quantiles": approx_price_quantiles,
@@ -473,6 +485,9 @@ def oracle_sql() -> dict[str, str]:
         # exact df-capped n-gram Jaccard near-dup (the deterministic
         # dedup-family member; minhash/simhash are probabilistic)
         "near_dup_ngram_jaccard": D.NGRAM_JACCARD_SQL,
+        # benchmark decontamination: 8-gram overlap vs the md5-sampled
+        # held-out set (same sampling rule as sample_documents_hash)
+        "decontaminate_documents": D.DECONTAMINATE_SQL,
         # cross-run incremental dedup vs its two-half SQL mirror
         "dedup_incremental_documents": _INGEST_DEDUP_SQL,
     }

@@ -776,3 +776,141 @@ JOIN nd na ON na.doc_id = doc_a
 JOIN nd nb ON nb.doc_id = doc_b
 WHERE inter::DOUBLE / (na.n + nb.n - inter) >= 0.8
 """
+
+
+def decontaminate_documents(
+    docs: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 8,
+    benchmark_rate_bp: int = 500,
+) -> rd.Dataset:
+    """Benchmark DECONTAMINATION — the LLM-training hygiene op: flag
+    corpus documents that share any ``shingle_n``-word shingle with a
+    held-out benchmark set, so evaluation data can be scrubbed from the
+    training corpus. (The classic recipe checks 8-13-gram overlap
+    against published eval sets; here the benchmark is the
+    deterministic md5-prefix sample of the corpus itself — the same
+    SQL-reproducible rule as ``sample_documents_hash`` — which makes
+    the whole operator DuckDB-oracle-checkable.)
+
+    Returns (doc_id, n_hit_shingles): non-benchmark docs sharing ≥1
+    shingle with any benchmark doc, with the count of their DISTINCT
+    contaminated shingles.
+
+    Scale shape: both sides explode to (shingle-hash, doc) rows —
+    8-byte keys, raw shingle strings never shuffle; the benchmark side
+    is the small side by construction (a few % sample) and semi-joins
+    the corpus side through the byte-budgeted broadcast tier
+    (``fits_broadcast``) or a hash join above it; per-doc hit counts
+    partial-combine. Nothing corpus-sized reaches the driver.
+    """
+    import pyarrow.compute as pc
+
+    thresh = format((65536 * benchmark_rate_bp) // 10000, "04x")
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, keys, bench = [], [], []
+        texts_l = t.column(text_col).to_pylist()
+        for d, txt in zip(t.column(id_col).to_pylist(), texts_l):
+            is_bench = hashlib.md5(str(d).encode()).hexdigest()[:4] < thresh
+            words = (txt or "").split()
+            if len(words) < shingle_n:
+                grams = {" ".join(words)} if words else set()
+            else:
+                grams = {
+                    " ".join(words[j : j + shingle_n])
+                    for j in range(len(words) - shingle_n + 1)
+                }
+            for g in grams:
+                h = int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "little")
+                ids.append(d)
+                keys.append(h & 0x7FFF_FFFF_FFFF_FFFF)
+                bench.append(is_bench)
+        return pa.table(
+            {
+                "doc": pa.array(ids),
+                "sh": pa.array(keys, pa.int64()),
+                "is_bench": pa.array(bench, pa.bool_()),
+            }
+        )
+
+    sch = docs.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+    exploded = docs.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow", batch_size=1024
+    ).materialize()  # consumed by both sides
+
+    bench_sh = exploded.map_batches(
+        lambda t: pa.table({"sh": pc.unique(t.filter(t.column("is_bench")).column("sh"))}),
+        batch_format="pyarrow",
+    )
+    corpus_sh = exploded.map_batches(
+        lambda t: t.filter(pc.invert(t.column("is_bench"))).select(["doc", "sh"]),
+        batch_format="pyarrow",
+    )
+
+    # distinct benchmark shingles (partial unique above; final combine)
+    n_b = bench_sh.count()
+    if n_b == 0:
+        return rd.from_arrow(
+            pa.table({id_col: pa.array([], id_type), "n_hit_shingles": pa.array([], pa.int64())})
+        )
+    parts = adaptive_partitions(16, n_rows=n_b)
+    bench_u = hash_partitioned_combine(
+        bench_sh, ["sh"], lambda t: pa.table({"sh": pc.unique(t.column("sh"))}), parts
+    ).materialize()
+    n_bu = bench_u.count()
+
+    if fits_broadcast(n_bu, 8.0):
+        import ray as _ray
+
+        vs_tbl = pa.concat_tables(list(bench_u.iter_batches(batch_format="pyarrow")))
+        vs_ref = _ray.put(vs_tbl.column("sh").combine_chunks())
+
+        def hit(t: pa.Table) -> pa.Table:
+            vs = _ray.get(vs_ref)
+            return t.filter(pc.is_in(t.column("sh"), value_set=vs))
+
+        hits = corpus_sh.map_batches(hit, batch_format="pyarrow")
+    else:
+        hits = corpus_sh.join(bench_u, join_type="inner", num_partitions=parts, on=("sh",))
+
+    # the semi-join may split a doc's shingles across blocks — one doc
+    # co-partition makes the (doc, sh) distinct AND the per-doc count
+    # block-final in a single combine
+    def distinct_and_count(t: pa.Table) -> pa.Table:
+        g = t.group_by(["doc", "sh"]).aggregate([])
+        g = g.group_by(["doc"]).aggregate([([], "count_all")])
+        return g.rename_columns([id_col, "n_hit_shingles"])
+
+    return hash_partitioned_combine(
+        hits.select_columns(["doc", "sh"]), ["doc"], distinct_and_count, parts
+    )
+
+
+def _decontaminate_sql(shingle_n: int = 8, benchmark_rate_bp: int = 500) -> str:
+    thresh = format((65536 * benchmark_rate_bp) // 10000, "04x")
+    return f"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w,
+         SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 4) < '{thresh}' AS is_bench
+  FROM documents
+  WHERE trim(text) <> ''
+), sh AS (
+  SELECT DISTINCT doc_id, is_bench,
+    CASE WHEN len(w) < {shingle_n} THEN array_to_string(w, ' ')
+         ELSE array_to_string(w[g.i:g.i+{shingle_n - 1}], ' ') END AS shingle
+  FROM words, LATERAL (SELECT unnest(range(1, greatest(len(w)-{shingle_n - 2}, 2))) AS i) g
+  WHERE len(w) < {shingle_n} OR g.i <= len(w)-{shingle_n - 1}
+), bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE is_bench
+)
+SELECT s.doc_id, COUNT(DISTINCT s.shingle)::BIGINT AS n_hit_shingles
+FROM sh s JOIN bench b USING (shingle)
+WHERE NOT s.is_bench
+GROUP BY s.doc_id
+"""
+
+
+DECONTAMINATE_SQL = _decontaminate_sql()

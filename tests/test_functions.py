@@ -171,6 +171,27 @@ class TestNearDup:
         assert ("a", "a2") in pairs
         assert not any("c" in p for pair in pairs for p in pair)
 
+    def test_decontaminate_planted(self, ray_session):
+        """A doc copying an 8-gram from a benchmark doc is flagged with
+        the right distinct-shingle count; clean docs are not."""
+        import hashlib as _h
+
+        from fancyrag_ray.functions.dedup import decontaminate_documents
+
+        # find ids on either side of the md5 5% threshold
+        bench_id = next(i for i in range(10_000) if _h.md5(str(i).encode()).hexdigest()[:4] < "0333")
+        clean_ids = [i for i in range(10_000) if _h.md5(str(i).encode()).hexdigest()[:4] >= "0333"]
+        bench_text = " ".join(f"secret{k}" for k in range(12))  # 5 8-gram windows
+        leak_text = "prefix " + " ".join(f"secret{k}" for k in range(8)) + " suffix"  # 1 shared window
+        t = pa.table(
+            {
+                "doc_id": pa.array([bench_id, clean_ids[0], clean_ids[1]], pa.int64()),
+                "text": pa.array([bench_text, leak_text, "totally unrelated words here now"], pa.string()),
+            }
+        )
+        out = decontaminate_documents(rd.from_arrow(t)).to_pandas()
+        assert dict(zip(out["doc_id"], out["n_hit_shingles"])) == {clean_ids[0]: 1}
+
     def test_ngram_jaccard(self):
         from fancyrag_ray.functions.dedup import ngram_jaccard
 
