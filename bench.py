@@ -304,6 +304,9 @@ def main() -> None:
                 __import__("fancyrag_ray.functions.graph", fromlist=["g"]).entity_triangles
             ),
             "doc_term_list": timed(T.doc_term_list),
+            "decontaminate_documents": timed(
+                __import__("__ray_entry__").queries()["decontaminate_documents"]
+            ),
         }
 
     print(json.dumps({
