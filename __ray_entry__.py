@@ -382,6 +382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_lsh": S.knn_cosine_lsh,
         "knn_cosine_ivf": S.knn_cosine_ivf,
         "knn_cosine_ivf_indexed": knn_cosine_ivf_indexed,
+        "knn_cosine_int8": S.knn_cosine_int8,
         "embedding_near_duplicates": S.embedding_near_duplicates,
         # cross-run incremental dedup against a persistent seen-key store
         "dedup_incremental_documents": dedup_incremental_documents,

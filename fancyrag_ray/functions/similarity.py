@@ -353,3 +353,56 @@ def embedding_near_duplicates(
         )
     # a pair can surface in several tables → dedup on (vec_a, vec_b)
     return pair_ds.groupby(["vec_a", "vec_b"]).aggregate(_Min("cos", alias_name="cos"))
+
+
+def quantize_int8(m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-vector int8 quantization: each row maps to
+    int8 codes plus one float32 scale (max-abs / 127). 4× smaller than
+    float32 (vs the ~⅛ overhead of the scale column) — at 10^12 docs the
+    embedding store drops from ~4 TB/10^9 1024-d vectors to ~1 TB, and
+    the object-store/shuffle traffic with it."""
+    scales = np.abs(m).max(axis=1) / 127.0
+    scales[scales == 0] = 1.0
+    codes = np.clip(np.round(m / scales[:, None]), -127, 127).astype(np.int8)
+    return codes, scales.astype(np.float32)
+
+
+def knn_cosine_int8(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> rd.Dataset:
+    """Top-k cosine neighbors over INT8-QUANTIZED vectors — the
+    compressed-store ANN path: each block quantizes its vectors
+    (per-vector symmetric int8 + one float scale — in production the
+    store persists the codes and the read is 4× lighter), scores with
+    an integer matmul against the int8 query, and emits a per-block
+    partial top-k; the global merge sorts the tiny candidate set.
+    Approximate by quantization only (no pruning) — recall vs the exact
+    float path is pinned in tests; rows-only driver check."""
+    q = _query_vector(sf_dir, query_vec_id)
+    qc, qs = quantize_int8(q[None, :])
+    qcode = qc[0].astype(np.int32)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        m = _embedding_matrix(t)
+        codes, scales = quantize_int8(m)
+        # integer dot products; cosine normalization from the code norms
+        # (scales cancel in cosine, so they never need to ship)
+        dots = codes.astype(np.int32) @ qcode
+        norms = np.sqrt((codes.astype(np.int32) ** 2).sum(axis=1))
+        qnorm = np.sqrt((qcode**2).sum())
+        norms[norms == 0] = 1
+        scores = dots / (norms * qnorm)
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        mask = ids != query_vec_id
+        scores, ids = scores[mask], ids[mask]
+        take = min(k, len(ids))
+        sel = np.argpartition(-scores, take - 1)[:take] if take else np.array([], dtype=int)
+        return pa.table(
+            {"vec_id": pa.array(ids[sel], pa.int64()), "score": pa.array(scores[sel], pa.float64())}
+        )
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow", batch_size=4096)
+        .sort(["score", "vec_id"], descending=[True, False])
+        .limit(k)
+        .select_columns(["vec_id"])
+    )

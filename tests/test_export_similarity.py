@@ -86,6 +86,26 @@ class TestAnnRecall:
         got = set(knn_cosine(SF).to_pandas()["vec_id"])
         assert got == self._brute()
 
+    def test_int8_quantized_recall(self, ray_session):
+        """4x-compressed int8 path: cosine over codes equals cosine over
+        dequantized vectors (per-vector scales cancel), so recall loss
+        comes only from 8-bit rounding — ≥0.9 on random vectors."""
+        from fancyrag_ray.functions.similarity import knn_cosine_int8
+
+        got = set(knn_cosine_int8(SF).to_pandas()["vec_id"])
+        truth = self._brute()
+        assert len(got & truth) / len(truth) >= 0.9
+
+    def test_int8_quantize_roundtrip_error(self):
+        from fancyrag_ray.functions.similarity import quantize_int8
+
+        rng = np.random.default_rng(3)
+        m = rng.normal(size=(100, 64))
+        codes, scales = quantize_int8(m)
+        err = np.abs(codes.astype(np.float64) * scales[:, None].astype(np.float64) - m).max()
+        assert err <= np.abs(m).max() / 127.0 + 1e-9  # ≤ half a quantization step rounded up
+        assert codes.dtype == np.int8 and scales.dtype == np.float32
+
 
 class TestEmbeddingNearDup:
     def _write(self, tmp_path, m):
