@@ -337,6 +337,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return f(sf_dir)
 
+    # ORDER MATTERS: the driver's correctness pass is budget-capped (r03
+    # evaluated only the first 50 dict entries), so every oracled query —
+    # including the end-to-end flagship/graph rows — sits BEFORE the
+    # no-oracle approximates. Keep new oracled entries in the first block.
     return {
         # relational / aggregation / join / sort / window (SURVEY §2.4-2.6)
         "pricing_summary": R.pricing_summary,
@@ -377,31 +381,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": T.tfidf_top_terms,
         "doc_rollup": T.doc_rollup,
         "sample_documents_hash": T.sample_documents_hash,
-        # similarity search
+        # similarity search (oracled members)
         "knn_cosine": S.knn_cosine,
-        "knn_cosine_lsh": S.knn_cosine_lsh,
-        "knn_cosine_ivf": S.knn_cosine_ivf,
-        "knn_cosine_ivf_indexed": knn_cosine_ivf_indexed,
         "knn_cosine_int8": S.knn_cosine_int8,
-        "embedding_near_duplicates": S.embedding_near_duplicates,
-        # cross-run incremental dedup against a persistent seen-key store
-        "dedup_incremental_documents": dedup_incremental_documents,
-        # near-dup dedup / sketches (no SQL oracle: iterative/approximate)
-        "near_dup_minhash": near_dup_minhash,
-        "near_dup_simhash": near_dup_simhash,
-        "near_dup_ngram_jaccard": near_dup_ngram_jaccard,
-        "decontaminate_documents": decontaminate_documents,
-        "approx_distinct_customers": approx_distinct_customers,
-        "approx_top_sources": approx_top_sources,
-        "approx_price_quantiles": approx_price_quantiles,
-        # graph analytics over the flagship KG
+        # flagship end-to-end + graph analytics (oracle-checked through
+        # the whole chunk→extract→link→merge DAG)
+        "kg_flagship_edges": kg_flagship_edges,
+        "kg_llm_extract_triples": kg_llm_extract_triples,
         "entity_degree_hist": entity_degree_hist,
         "entity_triangles": entity_triangles,
         "entity_components": entity_components,
+        # deterministic dedup family + cross-run incremental store
+        "near_dup_ngram_jaccard": near_dup_ngram_jaccard,
+        "decontaminate_documents": decontaminate_documents,
+        "dedup_incremental_documents": dedup_incremental_documents,
+        # ---- no-oracle block (approximate / iterative / multi-stage;
+        # accuracy pinned in tests) — keep these LAST ----
+        "knn_cosine_lsh": S.knn_cosine_lsh,
+        "knn_cosine_ivf": S.knn_cosine_ivf,
+        "knn_cosine_ivf_indexed": knn_cosine_ivf_indexed,
+        "embedding_near_duplicates": S.embedding_near_duplicates,
+        "near_dup_minhash": near_dup_minhash,
+        "near_dup_simhash": near_dup_simhash,
+        "approx_distinct_customers": approx_distinct_customers,
+        "approx_top_sources": approx_top_sources,
+        "approx_price_quantiles": approx_price_quantiles,
         "entity_pagerank": entity_pagerank,
-        # flagship end-to-end on driver data (no SQL oracle: multi-stage)
-        "kg_flagship_edges": kg_flagship_edges,
-        "kg_llm_extract_triples": kg_llm_extract_triples,
         "hybrid_search_chunks": hybrid_search_chunks,
         "hybrid_search_chunks_indexed": hybrid_search_chunks_indexed,
     }
@@ -466,6 +471,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_rollup": T.DOC_ROLLUP_SQL,
         "sample_documents_hash": T.SAMPLE_DOCUMENTS_HASH_SQL,
         "knn_cosine": S.KNN_COSINE_SQL,
+        # int8-quantized candidate scan + exact float rerank of the
+        # top-C pruned read — deterministically equal to the exact
+        # float path, so it shares the same oracle
+        "knn_cosine_int8": S.KNN_COSINE_SQL,
         # vectorized language-ID / winnowing fingerprint (integer/string
         # outputs chosen so the DuckDB mirror is hash-exact)
         "lang_id_documents": Q.LANG_ID_DOCUMENTS_SQL,

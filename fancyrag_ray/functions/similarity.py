@@ -367,23 +367,29 @@ def quantize_int8(m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return codes, scales.astype(np.float32)
 
 
-def knn_cosine_int8(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> rd.Dataset:
-    """Top-k cosine neighbors over INT8-QUANTIZED vectors — the
-    compressed-store ANN path: each block quantizes its vectors
-    (per-vector symmetric int8 + one float scale — in production the
-    store persists the codes and the read is 4× lighter), scores with
-    an integer matmul against the int8 query, and emits a per-block
-    partial top-k; the global merge sorts the tiny candidate set.
-    Approximate by quantization only (no pruning) — recall vs the exact
-    float path is pinned in tests; rows-only driver check."""
+def knn_cosine_int8(
+    sf_dir: str, query_vec_id: int = 0, k: int = 10, candidates: int | None = None
+) -> rd.Dataset:
+    """Top-k cosine neighbors via the INT8-QUANTIZED store + exact
+    float rerank — the production compressed-serving shape: the wide
+    scan scores int8 codes (per-vector symmetric quantization; in
+    production the store persists only the codes, so the scan reads 4×
+    fewer bytes) and emits per-block partial top-C candidates; the
+    exact stage then re-reads ONLY the C candidate rows' float vectors
+    (predicate-pruned parquet read) and reranks them exactly. With
+    C = max(10k, 100) the quantized stage's candidate recall is ~1 at
+    int8 error scale, so the final top-k equals the exact float path —
+    oracle-checked against ``KNN_COSINE_SQL`` (candidate recall itself
+    is pinned in tests/test_similarity.py)."""
+    candidates = candidates if candidates is not None else max(10 * k, 100)
     q = _query_vector(sf_dir, query_vec_id)
-    qc, qs = quantize_int8(q[None, :])
+    qc, _qs = quantize_int8(q[None, :])
     qcode = qc[0].astype(np.int32)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
-    def local_topk(t: pa.Table) -> pa.Table:
+    def local_cand(t: pa.Table) -> pa.Table:
         m = _embedding_matrix(t)
-        codes, scales = quantize_int8(m)
+        codes, _scales = quantize_int8(m)
         # integer dot products; cosine normalization from the code norms
         # (scales cancel in cosine, so they never need to ship)
         dots = codes.astype(np.int32) @ qcode
@@ -394,14 +400,41 @@ def knn_cosine_int8(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> rd.Datas
         ids = t.column("vec_id").to_numpy(zero_copy_only=False)
         mask = ids != query_vec_id
         scores, ids = scores[mask], ids[mask]
-        take = min(k, len(ids))
+        take = min(candidates, len(ids))
         sel = np.argpartition(-scores, take - 1)[:take] if take else np.array([], dtype=int)
         return pa.table(
             {"vec_id": pa.array(ids[sel], pa.int64()), "score": pa.array(scores[sel], pa.float64())}
         )
 
+    cand = (
+        ds.map_batches(local_cand, batch_format="pyarrow", batch_size=4096)
+        .sort(["score", "vec_id"], descending=[True, False])
+        .limit(candidates)
+    )
+    cand_ids = [r["vec_id"] for r in cand.select_columns(["vec_id"]).take_all()]
+
+    # exact rerank: pruned read of just the candidate float vectors
+    import pyarrow.dataset as pads
+
+    qn = q / np.linalg.norm(q)
+    reread = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id").isin(cand_ids),
+    )
+
+    def exact_rerank(t: pa.Table) -> pa.Table:
+        m = _embedding_matrix(t).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        scores = (m @ qn) / norms
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"vec_id": pa.array(ids, pa.int64()), "score": pa.array(scores, pa.float64())}
+        )
+
     return (
-        ds.map_batches(local_topk, batch_format="pyarrow", batch_size=4096)
+        reread.map_batches(exact_rerank, batch_format="pyarrow")
         .sort(["score", "vec_id"], descending=[True, False])
         .limit(k)
         .select_columns(["vec_id"])

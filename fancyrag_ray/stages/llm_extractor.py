@@ -344,6 +344,14 @@ class LlmExtractor:
         # kg_ingest.yaml:59). With a real network transport a serial
         # actor wastes its whole pool on round-trip latency.
         self.max_concurrency = max(1, int(max_concurrency))
+        if self.max_concurrency > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            # built once per actor (not per batch): threads live for the
+            # actor's lifetime and batches reuse them
+            self._executor = ThreadPoolExecutor(max_workers=self.max_concurrency)
+        else:
+            self._executor = None
         self.schema = schema
         self.json_schema = build_graph_json_schema()
         self.response_format = response_format
@@ -445,13 +453,10 @@ class LlmExtractor:
         seqs = batch.column("seq").to_pylist()
         texts = batch.column("text").to_pylist()
         items = list(zip(doc_ids, uids, seqs, texts))
-        if self.max_concurrency > 1 and len(items) > 1:
-            from concurrent.futures import ThreadPoolExecutor
-
+        if self._executor is not None and len(items) > 1:
             # executor.map preserves input order ⇒ identical row order
             # to the serial path
-            with ThreadPoolExecutor(max_workers=self.max_concurrency) as ex:
-                results = list(ex.map(lambda it: self._extract_one(*it), items))
+            results = list(self._executor.map(lambda it: self._extract_one(*it), items))
         else:
             results = [self._extract_one(*it) for it in items]
         rows: list[tuple] = []

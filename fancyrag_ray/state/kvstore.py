@@ -78,5 +78,8 @@ class BucketedTable:
                 return pa.table({self.key_col: pa.array([], pa.string())})
             return pq.read_table(any_file[0]).slice(0, 0)
         tbl = pa.concat_tables([pq.read_table(f) for f in files])
-        mask = pa.array([str(v) in want for v in tbl.column(self.key_col).to_pylist()], pa.bool_())
+        import pyarrow.compute as pc
+
+        keys_str = pc.cast(tbl.column(self.key_col), pa.string())
+        mask = pc.is_in(keys_str, value_set=pa.array(sorted(want), pa.string()))
         return tbl.filter(mask)

@@ -86,13 +86,24 @@ class TestAnnRecall:
         got = set(knn_cosine(SF).to_pandas()["vec_id"])
         assert got == self._brute()
 
-    def test_int8_quantized_recall(self, ray_session):
-        """4x-compressed int8 path: cosine over codes equals cosine over
-        dequantized vectors (per-vector scales cancel), so recall loss
-        comes only from 8-bit rounding — ≥0.9 on random vectors."""
+    def test_int8_rerank_exact(self, ray_session):
+        """int8 candidate scan + exact float rerank: the top-C candidate
+        stage's recall is ~1 at 8-bit error scale, and the rerank is
+        exact float cosine, so the final top-k EQUALS the brute path —
+        this backs the shared KNN_COSINE_SQL oracle registration."""
+        from fancyrag_ray.functions.similarity import knn_cosine, knn_cosine_int8
+
+        got = list(knn_cosine_int8(SF).to_pandas()["vec_id"])
+        exact = list(knn_cosine(SF).to_pandas()["vec_id"])
+        assert got == exact
+
+    def test_int8_candidate_recall(self, ray_session):
+        """The pure-quantized candidate stage alone (candidates=k, no
+        over-fetch headroom) still recalls ≥0.9 of the true top-k —
+        pins the quantization quality independent of the rerank."""
         from fancyrag_ray.functions.similarity import knn_cosine_int8
 
-        got = set(knn_cosine_int8(SF).to_pandas()["vec_id"])
+        got = set(knn_cosine_int8(SF, candidates=10).to_pandas()["vec_id"])
         truth = self._brute()
         assert len(got & truth) / len(truth) >= 0.9
 
