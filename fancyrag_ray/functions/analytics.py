@@ -483,7 +483,15 @@ def rollup_counts(
     value sums ride as integer cents). Key columns are cast to STRING in
     the output — the sentinel needs a common type across levels, the
     same reason a SQL mirror over non-string keys must
-    ``COALESCE(CAST(k AS VARCHAR), sentinel)``."""
+    ``COALESCE(CAST(k AS VARCHAR), sentinel)``.
+
+    NULL keys are normalized to ``all_sentinel`` BEFORE grouping, so a
+    SQL mirror must coalesce inside the ROLLUP too
+    (``ROLLUP(COALESCE(CAST(k AS VARCHAR), sentinel), …)``) — coalescing
+    only in the SELECT list would keep the NULL group separate from the
+    subtotal row while Ray merges them. Precondition: no data value
+    literally equals the sentinel (it would merge with the subtotal on
+    BOTH sides — pick a sentinel outside the key domain)."""
     import numpy as np
 
     from ..util import hash_partitioned_combine
@@ -492,7 +500,15 @@ def rollup_counts(
         from ..util import to_cents
 
         cents = pa.array(to_cents(t.column(value_col).to_numpy(zero_copy_only=False)))
-        pt = pa.table({**{k: t.column(k).cast(pa.string()) for k in keys}, "_c": cents})
+        pt = pa.table(
+            {
+                **{
+                    k: pc.fill_null(t.column(k).cast(pa.string()), all_sentinel)
+                    for k in keys
+                },
+                "_c": cents,
+            }
+        )
         g = pt.group_by(keys).aggregate([([], "count_all"), ("_c", "sum")])
         return g.rename_columns([*keys, "n_rows", "sum_cents"])
 
@@ -539,6 +555,9 @@ def events_type_rollup(sf_dir: str) -> rd.Dataset:
     """Driver query for ``rollup_counts``: event counts + value cents by
     (event_type, day), rolled up to (event_type) and the grand total —
     DuckDB ``GROUP BY ROLLUP`` oracle with NULLs coalesced to 'ALL'."""
+    from ..util import adaptive_partitions
+
+    n = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
     ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
 
     def add_day(t: pa.Table) -> pa.Table:
@@ -547,16 +566,29 @@ def events_type_rollup(sf_dir: str) -> rd.Dataset:
             {"event_type": t.column("event_type"), "day": day, "value": t.column("value")}
         )
 
-    return rollup_counts(ds.map_batches(add_day, batch_format="pyarrow"), ["event_type", "day"], "value")
+    return rollup_counts(
+        ds.map_batches(add_day, batch_format="pyarrow"),
+        ["event_type", "day"],
+        "value",
+        num_partitions=adaptive_partitions(16, n_rows=n),
+    )
 
 
+# NULLs are coalesced to the sentinel INSIDE the ROLLUP (not just in the
+# SELECT list) to mirror rollup_counts' pre-grouping fill_null — see its
+# docstring for why the two placements differ on NULL-keyed data.
 EVENTS_TYPE_ROLLUP_SQL = """
 SELECT COALESCE(event_type, 'ALL') AS event_type,
-       COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+       COALESCE(day, 'ALL') AS day,
        COUNT(*)::BIGINT AS n_rows,
        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-FROM events
-GROUP BY ROLLUP(event_type, strftime(date_trunc('day', ts), '%Y-%m-%d'))
+FROM (
+  SELECT COALESCE(event_type, 'ALL') AS event_type,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         value
+  FROM events
+)
+GROUP BY ROLLUP(event_type, day)
 """
 
 

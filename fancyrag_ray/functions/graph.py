@@ -306,7 +306,10 @@ def pagerank(
 
 
 def triangle_counts(
-    edges: rd.Dataset, src_col: str = "src_id", dst_col: str = "dst_id"
+    edges: rd.Dataset,
+    src_col: str = "src_id",
+    dst_col: str = "dst_id",
+    broadcast_budget: int | None = None,
 ) -> rd.Dataset:
     """Per-node triangle participation counts → (node, n_triangles).
 
@@ -318,7 +321,11 @@ def triangle_counts(
     a triangle iff its (b1, b2) pair is itself an oriented edge — one
     hash join. Each triangle is found exactly once (at its lowest-order
     corner) and then credited to all three corners with a partial-first
-    count combine. Nothing corpus-sized reaches the driver.
+    count combine. Nothing corpus-sized reaches the driver: the
+    (node → degree) map used for orientation is broadcast only when it
+    passes :func:`fits_broadcast` (same byte budget as pagerank's
+    broadcast tier); above the budget the orientation becomes two hash
+    joins on the edge endpoints.
     """
     # normalize to undirected unique (lo, hi) pairs
     def norm(t: pa.Table) -> pa.Table:
@@ -352,10 +359,9 @@ def triangle_counts(
     if n_edges == 0:
         return rd.from_arrow(_empty)
 
-    # endpoint degrees (partial-first), then broadcast the (node → degree)
-    # map: it is O(nodes) narrow rows — the same byte-budget contract as
-    # pagerank's broadcast tier would apply on a bigger-than-memory node
-    # set, where the orientation becomes a join; documented bound here.
+    # endpoint degrees (partial-first); the (node → degree) map is
+    # O(nodes) narrow rows — broadcast when it fits the byte budget,
+    # else orient via two endpoint hash joins (pagerank's tier switch).
     def deg_partial(t: pa.Table) -> pa.Table:
         nodes = pa.chunked_array([t.column("a").combine_chunks(), t.column("b").combine_chunks()])
         g = pa.table({"node": nodes}).group_by(["node"]).aggregate([([], "count_all")])
@@ -366,26 +372,57 @@ def triangle_counts(
         ["node"],
         lambda t: t.group_by(["node"]).aggregate([("deg", "sum")]).rename_columns(["node", "deg"]),
         adaptive_partitions(8, n_rows=2 * n_edges),
+    ).materialize()
+    n_nodes = deg.count()
+    use_broadcast = fits_broadcast(
+        n_nodes,
+        dataset_mean_row_bytes(deg, n_nodes) + 8.0,
+        **({"budget_bytes": broadcast_budget} if broadcast_budget is not None else {}),
     )
-    deg_tbl = pa.concat_tables(list(deg.iter_batches(batch_format="pyarrow")))
-    node_arr = deg_tbl.column("node").combine_chunks()
-    deg_vec = deg_tbl.column("deg").to_numpy(zero_copy_only=False)
-    node_ref = ray.put(node_arr)
-    deg_ref = ray.put(deg_vec)
 
-    def orient(t: pa.Table) -> pa.Table:
-        """src = lower-(degree, id) endpoint, dst = the other."""
-        na, dv = ray.get(node_ref), ray.get(deg_ref)
-        ia = pc.index_in(t.column("a"), value_set=na).to_numpy(zero_copy_only=False)
-        ib = pc.index_in(t.column("b"), value_set=na).to_numpy(zero_copy_only=False)
-        da, db = dv[ia], dv[ib]
-        # a < b lexically already, so ties on degree keep a as source
-        a_first = (da < db) | (da == db)
-        src = pc.if_else(pa.array(a_first), t.column("a").combine_chunks(), t.column("b").combine_chunks())
-        dst = pc.if_else(pa.array(a_first), t.column("b").combine_chunks(), t.column("a").combine_chunks())
-        return pa.table({"src": src, "dst": dst})
+    if use_broadcast:
+        deg_tbl = pa.concat_tables(list(deg.iter_batches(batch_format="pyarrow")))
+        node_arr = deg_tbl.column("node").combine_chunks()
+        deg_vec = deg_tbl.column("deg").to_numpy(zero_copy_only=False)
+        node_ref = ray.put(node_arr)
+        deg_ref = ray.put(deg_vec)
 
-    oriented = und.map_batches(orient, batch_format="pyarrow").materialize()
+        def orient(t: pa.Table) -> pa.Table:
+            """src = lower-(degree, id) endpoint, dst = the other."""
+            na, dv = ray.get(node_ref), ray.get(deg_ref)
+            ia = pc.index_in(t.column("a"), value_set=na).to_numpy(zero_copy_only=False)
+            ib = pc.index_in(t.column("b"), value_set=na).to_numpy(zero_copy_only=False)
+            da, db = dv[ia], dv[ib]
+            # a < b lexically already, so ties on degree keep a as source
+            a_first = (da < db) | (da == db)
+            src = pc.if_else(pa.array(a_first), t.column("a").combine_chunks(), t.column("b").combine_chunks())
+            dst = pc.if_else(pa.array(a_first), t.column("b").combine_chunks(), t.column("a").combine_chunks())
+            return pa.table({"src": src, "dst": dst})
+
+        oriented = und.map_batches(orient, batch_format="pyarrow").materialize()
+    else:
+        # join tier: degrees ride onto each endpoint via hash joins, the
+        # driver never holds the node set
+        jparts = adaptive_partitions(8, n_rows=n_edges)
+        deg_a = deg.map_batches(
+            lambda t: t.rename_columns(["a", "deg_a"]), batch_format="pyarrow"
+        )
+        deg_b = deg.map_batches(
+            lambda t: t.rename_columns(["b", "deg_b"]), batch_format="pyarrow"
+        )
+        j = und.join(deg_a, join_type="inner", num_partitions=jparts, on=("a",)).join(
+            deg_b, join_type="inner", num_partitions=jparts, on=("b",)
+        )
+
+        def orient_joined(t: pa.Table) -> pa.Table:
+            da = t.column("deg_a").to_numpy(zero_copy_only=False)
+            db = t.column("deg_b").to_numpy(zero_copy_only=False)
+            a_first = da <= db  # a < b lexically, so ties keep a as source
+            src = pc.if_else(pa.array(a_first), t.column("a").combine_chunks(), t.column("b").combine_chunks())
+            dst = pc.if_else(pa.array(a_first), t.column("b").combine_chunks(), t.column("a").combine_chunks())
+            return pa.table({"src": src, "dst": dst})
+
+        oriented = j.map_batches(orient_joined, batch_format="pyarrow").materialize()
 
     def wedges(t: pa.Table) -> pa.Table:
         """All out-neighbor pairs per pivot (block holds each pivot's

@@ -120,7 +120,12 @@ def lang_id_documents(sf_dir: str) -> rd.Dataset:
 
     Semantics (mirrored exactly by ``LANG_ID_DOCUMENTS_SQL``):
 
-    - ``n_words``: non-empty whitespace tokens of ``lower(text)``;
+    - ``n_words``: non-empty whitespace tokens of ``lower(text)`` —
+      NOTE: RE2 ``\\s+`` splits on ASCII whitespace only, while
+      ``LangId.classify_one`` uses Python ``str.split()`` (Unicode
+      whitespace), so texts containing NBSP or other Unicode spaces
+      tokenize differently here than in the per-row class; DuckDB-oracle
+      parity is unaffected (both sides are RE2);
     - ``lang_pred``: ``'zh'`` when CJK chars exceed 20% of the character
       length (strictly: ``5*cjk > len``); else ``'und'`` when no
       language profile scores a hit; else the argmax language with ties

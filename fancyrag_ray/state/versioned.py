@@ -78,7 +78,19 @@ class VersionedStore:
         tmp = os.path.join(self.root, ".CURRENT.tmp")
         with open(tmp, "w") as f:
             f.write(f"v{version:05d}")
+            # fsync the pointer BEFORE the rename and the directory AFTER:
+            # without both, a power loss can persist the old-version GC
+            # below while the un-synced pointer flip does not, leaving
+            # CURRENT referencing a deleted directory (process crashes
+            # were already safe — this closes the power-loss window)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, os.path.join(self.root, "CURRENT"))  # THE commit point
+        dir_fd = os.open(self.root, os.O_RDONLY)
+        try:
+            os.fsync(dir_fd)
+        finally:
+            os.close(dir_fd)
         self._gc(keep=f"v{version:05d}")
 
     def _gc(self, keep: str) -> None:

@@ -188,6 +188,43 @@ class TestRollupAndRunningTotal:
         assert rows[("1", "ALL")] == (2, 300)
         assert rows[("ALL", "ALL")] == (3, 600)
 
+    def test_rollup_null_keys_match_coalesced_sql(self, ray_session):
+        """NULL keys normalize to the sentinel BEFORE grouping, so the
+        output is a row-for-row multiset match with a SQL mirror that
+        COALESCEs INSIDE the ROLLUP (the ADVICE-flagged divergence:
+        coalescing only in the SELECT list keeps a separate null group).
+        Note both sides emit two ('ALL','ALL') rows here — the subtotal
+        of the null-keyed group and the grand total — which is the
+        documented sentinel-collision shape."""
+        import duckdb
+        import ray.data as rd
+
+        from fancyrag_ray.functions.analytics import rollup_counts
+
+        t = pa.table(
+            {
+                "k": pa.array(["x", None, "x"], pa.string()),
+                "day": pa.array(["d1", "d1", "d2"], pa.string()),
+                "value": pa.array([1.0, 2.0, 4.0], pa.float64()),
+            }
+        )
+        out = rollup_counts(rd.from_arrow(t), ["k", "day"], "value").to_pandas()
+        got = sorted(zip(out["k"], out["day"], out["n_rows"], out["sum_cents"]))
+        con = duckdb.connect()
+        con.register("t", t)
+        sql = """
+        SELECT COALESCE(k, 'ALL') AS k, COALESCE(day, 'ALL') AS day,
+               COUNT(*)::BIGINT AS n_rows,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM (SELECT COALESCE(k, 'ALL') AS k, day, value FROM t)
+        GROUP BY ROLLUP(k, day)
+        """
+        odf = con.execute(sql).df()
+        want = sorted(zip(odf["k"], odf["day"], odf["n_rows"], odf["sum_cents"]))
+        assert got == want
+        # the NULL row landed in the sentinel group at the finest level
+        assert ("ALL", "d1", 1, 200) in got
+
     def test_running_total_half_away_rounding(self, ray_session):
         """to_cents rounds .5 away from zero like SQL ROUND (np.rint's
         half-to-even would give 812 for 8.125)."""

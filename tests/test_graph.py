@@ -135,6 +135,17 @@ class TestTriangles:
         got = triangle_counts(_edge_ds([("a", "b"), ("b", "c"), ("c", "d")]))
         assert got.count() == 0
 
+    def test_join_tier_matches_broadcast(self, ray_session):
+        """broadcast_budget=0 forces the over-budget join orientation;
+        triangle counts must equal the broadcast tier's exactly."""
+        from fancyrag_ray.functions.graph import triangle_counts
+
+        bc = triangle_counts(_edge_ds(GRAPH)).to_pandas()
+        jn = triangle_counts(_edge_ds(GRAPH), broadcast_budget=0).to_pandas()
+        assert dict(zip(jn["node"], jn["n_triangles"])) == dict(
+            zip(bc["node"], bc["n_triangles"])
+        )
+
 
 class TestDegreeHist:
     def test_hist_small_graph(self, ray_session):
