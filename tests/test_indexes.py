@@ -110,6 +110,81 @@ class TestLanceGate:
             LanceIndexBackend(str(tmp_path))
 
 
+class _FakeLanceDataset:
+    """Just enough of the lance.dataset surface for LanceIndexBackend:
+    schema introspection, index listing, and the two create calls."""
+
+    def __init__(self, dim: int = 8):
+        import pyarrow as pa
+
+        self.schema = pa.schema(
+            [
+                ("chunk_uid", pa.string()),
+                ("text", pa.string()),
+                ("embedding", pa.list_(pa.float32(), dim)),
+            ]
+        )
+        self._indices: list[dict] = []
+        self.calls: list[tuple] = []
+
+    def list_indices(self):
+        return list(self._indices)
+
+    def create_index(self, column, index_type, metric, num_partitions):
+        self.calls.append(("vector", column, index_type, metric, num_partitions))
+        self._indices.append({"fields": [column], "type": index_type})
+
+    def create_scalar_index(self, column, index_type):
+        self.calls.append(("scalar", column, index_type))
+        self._indices.append({"fields": [column], "type": index_type})
+
+
+class TestLanceBackendMocked:
+    """Drive the HAVE_LANCE=True branch (VERDICT r3 #8): a fake `lance`
+    module in sys.modules exercises LanceIndexBackend's real method
+    bodies — create-or-validate, idempotence, and the dim-mismatch error
+    — not just the gate check."""
+
+    @pytest.fixture()
+    def lance_backend(self, monkeypatch):
+        import sys
+        import types
+
+        import fancyrag_ray.sources.indexes as idx
+
+        fake_ds = _FakeLanceDataset(dim=8)
+        fake_lance = types.ModuleType("lance")
+        fake_lance.dataset = lambda uri: fake_ds
+        monkeypatch.setitem(sys.modules, "lance", fake_lance)
+        monkeypatch.setattr(idx, "HAVE_LANCE", True)
+        return LanceIndexBackend("/tmp/fake.lance"), fake_ds
+
+    def test_create_then_exists(self, lance_backend):
+        b, ds = lance_backend
+        spec = VectorIndexSpec(dimensions=8, num_partitions=4)
+        assert provision_vector_index(b, spec) == "created"
+        assert ds.calls == [("vector", "embedding", "IVF_PQ", "cosine", 4)]
+        # second provision discovers the existing index and skips
+        assert provision_vector_index(b, spec) == "exists"
+        assert len(ds.calls) == 1
+
+    def test_dim_mismatch_through_gated_path(self, lance_backend):
+        b, _ = lance_backend
+        with pytest.raises(IndexMismatchError, match="8 dims"):
+            provision_vector_index(b, VectorIndexSpec(dimensions=1024))
+
+    def test_non_vector_column_rejected(self, lance_backend):
+        b, _ = lance_backend
+        with pytest.raises(IndexMismatchError, match="not a fixed-size vector"):
+            provision_vector_index(b, VectorIndexSpec(column="text", dimensions=8))
+
+    def test_fulltext_through_gated_path(self, lance_backend):
+        b, ds = lance_backend
+        assert provision_fulltext_index(b, FulltextIndexSpec()) == "created"
+        assert ("scalar", "text", "INVERTED") in ds.calls
+        assert provision_fulltext_index(b, FulltextIndexSpec()) == "exists"
+
+
 class TestIvfChunkIndex:
     @pytest.fixture()
     def emb_ds(self):

@@ -74,3 +74,79 @@ class TestKgServer:
         assert again.health()["status"] == "ok"
         out = again.search("launched product", top_k=3)
         assert len(out["hits"]) > 0
+
+
+@pytest.fixture(scope="module")
+def http_server(server):
+    from fancyrag_ray.pipelines.http_serve import KgHttpServer
+
+    srv, *_ = server
+    with KgHttpServer(srv) as h:
+        host, port = h.address
+        yield srv, f"http://{host}:{port}"
+
+
+def _get(base: str, path: str):
+    import urllib.error
+    import urllib.request
+    import json as _json
+
+    try:
+        with urllib.request.urlopen(base + path, timeout=10) as r:
+            return r.status, _json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, _json.loads(e.read())
+
+
+class TestKgHttpServer:
+    """HTTP shell routes map 1:1 onto KgServer; payload shapes follow the
+    reference's search_sync / fetch_sync / health responses
+    (runtime.py:172-272, servers/mcp_hybrid_google.py:57-70)."""
+
+    def test_health_route(self, http_server):
+        _, base = http_server
+        code, body = _get(base, "/health")
+        # reference health contract: 200 + {"status": "ok"} when the
+        # backing store answers (mcp_hybrid_google.py:70)
+        assert code == 200 and body["status"] == "ok"
+        assert all(body["stores"].values())
+
+    def test_search_route_matches_in_process(self, http_server):
+        srv, base = http_server
+        code, body = _get(base, "/search?q=launched+product&top_k=3")
+        assert code == 200
+        assert body["query"] == "launched product"
+        assert body["top_k"] == 3 and body["effective_search_ratio"] == 1.0
+        assert len(body["results"]) > 0
+        for item in body["results"]:
+            assert {"chunk_uid", "score", "score_vector", "score_fulltext"} <= set(item)
+        direct = srv.search("launched product", top_k=3)
+        assert [i["chunk_uid"] for i in body["results"]] == direct["hits"][
+            "chunk_uid"
+        ].tolist()
+        assert isinstance(body["context"], list)
+
+    def test_search_no_context(self, http_server):
+        _, base = http_server
+        code, body = _get(base, "/search?q=launched&top_k=2&include_context=false")
+        assert code == 200 and "context" not in body
+
+    def test_fetch_route(self, http_server):
+        srv, base = http_server
+        some = srv.nodes.lookup_all_keys()[0] if hasattr(srv.nodes, "lookup_all_keys") else None
+        if some is None:  # derive an id through the public search path
+            hits = srv.search("launched", top_k=1)["context"]
+            some = hits["subj_id"].iloc[0]
+        code, body = _get(base, f"/fetch?id={some}")
+        assert code == 200 and body["found"] is True
+        assert body["element_id"] == some
+        assert "embedding" not in body["metadata"]
+        code, body = _get(base, "/fetch?id=x-no-such-entity")
+        assert code == 200 and body == {"found": False, "element_id": "x-no-such-entity"}
+
+    def test_errors(self, http_server):
+        _, base = http_server
+        assert _get(base, "/search")[0] == 400
+        assert _get(base, "/fetch")[0] == 400
+        assert _get(base, "/search?q=x&top_k=0")[0] == 400  # validate_top_k
+        assert _get(base, "/nope")[0] == 404
