@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from fancyrag_ray.functions import relational as R
     from fancyrag_ray.functions import similarity as S
     from fancyrag_ray.functions import textops as T
+    from fancyrag_ray.functions import timeshard as TS
 
     def near_dup_minhash(sf_dir: str):
         import ray.data as rd
@@ -357,6 +358,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_last_order": R.events_last_order,
         "events_rolling_hour": R.events_rolling_hour,
         "events_session_attribution": R.events_session_attribution,
+        # hot-key-safe time-sharded variants — same semantics, same SQL
+        # oracles, no one-key-one-block assumption (timeshard.py)
+        "events_last_order_sharded": TS.events_last_order_sharded,
+        "events_rolling_hour_sharded": TS.events_rolling_hour_sharded,
+        "events_session_attribution_sharded": TS.events_session_attribution_sharded,
+        "events_running_value_sharded": TS.events_running_value_sharded,
         # analytics operators Ray Data lacks (grouped top-N, exact
         # grouped quantiles, pivot, stratified sampling)
         "top_orders_per_customer": A.top_orders_per_customer,
@@ -440,6 +447,12 @@ def oracle_sql() -> dict[str, str]:
         "events_rolling_hour": R.EVENTS_ROLLING_HOUR_SQL,
         # interval-containment range join vs SQL BETWEEN join
         "events_session_attribution": R.EVENTS_SESSION_ATTRIBUTION_SQL,
+        # the time-sharded variants are semantically identical, so they
+        # share the unsharded operators' oracles verbatim
+        "events_last_order_sharded": R.EVENTS_LAST_ORDER_SQL,
+        "events_rolling_hour_sharded": R.EVENTS_ROLLING_HOUR_SQL,
+        "events_session_attribution_sharded": R.EVENTS_SESSION_ATTRIBUTION_SQL,
+        "events_running_value_sharded": A.EVENTS_RUNNING_VALUE_SQL,
         # grouped top-N vs ROW_NUMBER window; exact grouped quantiles vs
         # quantile_disc; pivot vs COUNT FILTER; stratified sample vs the
         # md5-threshold CASE

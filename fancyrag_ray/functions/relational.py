@@ -730,15 +730,20 @@ def rolling_window_aggregate(
             .agg(["sum", "size"])
             .reset_index()
         )
+        # join the rolling result back BY KEY, never positionally:
+        # groupby().rolling() concatenates groups in the grouper's
+        # internal order, which is not guaranteed to match g's row order
+        # (observed divergence with composite keys — timeshard.py)
         r = (
             g.groupby(by, sort=False)
             .rolling(pd.Timedelta(seconds=window_seconds), on=on, closed="both")[["sum", "size"]]
             .sum()
-            .reset_index(drop=True)
+            .reset_index()
         )
-        g[out_sum] = r["sum"].astype("int64")
-        g[out_n] = r["size"].astype("int64")
-        merged = df.merge(g[[by, on, out_sum, out_n]], on=[by, on], how="left")
+        r = r[[by, on, "sum", "size"]].rename(columns={"sum": out_sum, "size": out_n})
+        r[out_sum] = r[out_sum].astype("int64")
+        r[out_n] = r[out_n].astype("int64")
+        merged = df.merge(r, on=[by, on], how="left")
         arrays = [
             pa.Array.from_pandas(merged[c], type=out_schema.field(c).type)
             for c in out_schema.names
@@ -858,63 +863,89 @@ def range_join(
     )
 
     def _match(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = t.to_pandas()
-        l = df[df["__side"] == 0].sort_values(["__k", on], kind="mergesort")
-        r = df[df["__side"] == 1].sort_values(["__k", lower], kind="mergesort")
-        if len(l) == 0 or len(r) == 0:
-            return out_schema.empty_table()
-        lt = l[on].to_numpy()
-        lk = l["__k"].to_numpy()
-        rlo = r[lower].to_numpy()
-        rhi = r[upper].to_numpy()
-        rk = r["__k"].to_numpy()
-        left_take: list[np.ndarray] = []
-        right_take: list[np.ndarray] = []
-        # key segments (both frames sorted by key): vectorized work per
-        # key, one python iteration per DISTINCT key in the block
-        lkeys, lstarts = np.unique(lk, return_index=True)
-        rkeys, rstarts = np.unique(rk, return_index=True)
-        rmap = {k: i for i, k in enumerate(rkeys)}
-        lbounds = np.append(lstarts, len(lk))
-        rbounds = np.append(rstarts, len(rk))
-        for i, key in enumerate(lkeys):
-            j = rmap.get(key)
-            if j is None:
-                continue
-            ls, le = lbounds[i], lbounds[i + 1]
-            rs, re = rbounds[j], rbounds[j + 1]
-            lo_seg, hi_seg = rlo[rs:re], rhi[rs:re]
-            t_seg = lt[ls:le]
-            L = (hi_seg - lo_seg).max()
-            c0 = np.searchsorted(lo_seg, t_seg - L, side="left")
-            c1 = np.searchsorted(lo_seg, t_seg, side="right")
-            counts = c1 - c0
-            total = int(counts.sum())
-            if total == 0:
-                continue
-            # repeat+offsets expansion: candidate interval index for
-            # each (left row, local candidate slot) pair
-            lrep = np.repeat(np.arange(ls, le), counts)
-            offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
-            cand = np.repeat(c0, counts) + offs
-            keep = hi_seg[cand] >= lt[lrep]
-            left_take.append(lrep[keep])
-            right_take.append(rs + cand[keep])
-        if not left_take:
-            return out_schema.empty_table()
-        li = np.concatenate(left_take)
-        ri = np.concatenate(right_take)
-        out = {c: l[c].to_numpy()[li] for c in lcols}
-        out.update({c: r[c].to_numpy()[ri] for c in rcols})
-        arrays = [
-            pa.Array.from_pandas(pd.Series(out[c]), type=out_schema.field(c).type)
-            for c in out_schema.names
-        ]
-        return pa.Table.from_arrays(arrays, schema=out_schema)
+        return interval_match_block(t, on, lower, upper, lcols, rcols, out_schema)
 
     return hash_partitioned_combine(tagged, ["__k"], _match, num_partitions)
+
+
+def interval_match_block(
+    t: pa.Table,
+    on: str,
+    lower: str,
+    upper: str,
+    lcols: list[str],
+    rcols: list[str],
+    out_schema: pa.Schema,
+    seg_cols: list[str] | None = None,
+) -> pa.Table:
+    """Per-block interval containment matcher shared by ``range_join``
+    and the time-sharded variant: both frames key-sorted, two
+    ``searchsorted`` calls bound a candidate slice per left row,
+    candidates expand via repeat+cumsum offsets, one boolean mask keeps
+    ``upper >= t`` — one Python iteration per DISTINCT key in the block,
+    everything else vectorized.
+
+    ``seg_cols`` is the matching-scope key (default ``["__k"]``). The
+    time-sharded caller MUST pass ``["__k", "__b"]``: a block may hold
+    several buckets of one key, and an interval replicated into each of
+    them would otherwise match the same left row once per copy."""
+    import pandas as pd
+
+    seg_cols = seg_cols or ["__k"]
+    df = t.to_pandas()
+    # one integer segment code per distinct seg_cols combination, shared
+    # by both sides (computed before the split)
+    df["__seg"] = df.groupby(seg_cols, sort=True).ngroup()
+    l = df[df["__side"] == 0].sort_values(["__seg", on], kind="mergesort")
+    r = df[df["__side"] == 1].sort_values(["__seg", lower], kind="mergesort")
+    if len(l) == 0 or len(r) == 0:
+        return out_schema.empty_table()
+    lt = l[on].to_numpy()
+    lk = l["__seg"].to_numpy()
+    rlo = r[lower].to_numpy()
+    rhi = r[upper].to_numpy()
+    rk = r["__seg"].to_numpy()
+    left_take: list[np.ndarray] = []
+    right_take: list[np.ndarray] = []
+    lkeys, lstarts = np.unique(lk, return_index=True)
+    rkeys, rstarts = np.unique(rk, return_index=True)
+    rmap = {k: i for i, k in enumerate(rkeys)}
+    lbounds = np.append(lstarts, len(lk))
+    rbounds = np.append(rstarts, len(rk))
+    for i, key in enumerate(lkeys):
+        j = rmap.get(key)
+        if j is None:
+            continue
+        ls, le = lbounds[i], lbounds[i + 1]
+        rs, re = rbounds[j], rbounds[j + 1]
+        lo_seg, hi_seg = rlo[rs:re], rhi[rs:re]
+        t_seg = lt[ls:le]
+        L = (hi_seg - lo_seg).max()
+        c0 = np.searchsorted(lo_seg, t_seg - L, side="left")
+        c1 = np.searchsorted(lo_seg, t_seg, side="right")
+        counts = c1 - c0
+        total = int(counts.sum())
+        if total == 0:
+            continue
+        # repeat+offsets expansion: candidate interval index for each
+        # (left row, local candidate slot) pair
+        lrep = np.repeat(np.arange(ls, le), counts)
+        offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+        cand = np.repeat(c0, counts) + offs
+        keep = hi_seg[cand] >= lt[lrep]
+        left_take.append(lrep[keep])
+        right_take.append(rs + cand[keep])
+    if not left_take:
+        return out_schema.empty_table()
+    li = np.concatenate(left_take)
+    ri = np.concatenate(right_take)
+    out = {c: l[c].to_numpy()[li] for c in lcols}
+    out.update({c: r[c].to_numpy()[ri] for c in rcols})
+    arrays = [
+        pa.Array.from_pandas(pd.Series(out[c]), type=out_schema.field(c).type)
+        for c in out_schema.names
+    ]
+    return pa.Table.from_arrays(arrays, schema=out_schema)
 
 
 def events_session_attribution(sf_dir: str) -> rd.Dataset:
