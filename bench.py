@@ -296,6 +296,19 @@ def main() -> None:
             # round-3 second-session operators
             "events_running_value": timed(A.events_running_value),
             "events_type_rollup": timed(A.events_type_rollup),
+            # round-4 hot-key-safe time-sharded variants (same oracles)
+            "events_last_order_sharded": timed(
+                __import__("fancyrag_ray.functions.timeshard", fromlist=["t"]).events_last_order_sharded
+            ),
+            "events_rolling_hour_sharded": timed(
+                __import__("fancyrag_ray.functions.timeshard", fromlist=["t"]).events_rolling_hour_sharded
+            ),
+            "events_session_attribution_sharded": timed(
+                __import__("fancyrag_ray.functions.timeshard", fromlist=["t"]).events_session_attribution_sharded
+            ),
+            "events_running_value_sharded": timed(
+                __import__("fancyrag_ray.functions.timeshard", fromlist=["t"]).events_running_value_sharded
+            ),
             "pack_documents": timed(A.pack_documents),
             "lang_id_documents": timed(
                 __import__("fancyrag_ray.functions.quality", fromlist=["q"]).lang_id_documents

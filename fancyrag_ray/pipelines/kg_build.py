@@ -338,6 +338,7 @@ def run_kg_build_resumable(
     alias_table: pa.Table | None = None,
     fail_after: int | None = None,
     seen_store_dir: str | None = None,
+    graph_store_dir: str | None = None,
 ) -> dict:
     """Partitioned, checkpointed build: one partition per input file (at
     scale: per Lance fragment). Completed partitions are recorded in a
@@ -350,7 +351,18 @@ def run_kg_build_resumable(
     sequence checksums before chunk/embed/extract, and the fresh keys
     are ingested under the partition id after its manifest commit (a
     crash between commit and ingest heals on resume — the un-journaled
-    partition re-ingests its persisted dockeys, a no-op for the data)."""
+    partition re-ingests its persisted dockeys, a no-op for the data).
+
+    ``graph_store_dir`` makes the GLOBAL phase resumable too: each
+    partition's node/edge partials ingest into a persistent
+    ``IncrementalStore`` keyed by partition id (idempotent journal, same
+    commit→ingest healing as the seen store), so a resumed run pays
+    O(delta partitions × touched buckets) for the graph — not a full
+    re-reduce of every completed partition's linked rows. The final
+    ``out_dir/{nodes,edges}`` are hardlinked views of the store's
+    current version. The merges are associative (sum / min / max), so N
+    per-partition ingests equal the one-shot derivation exactly
+    (pinned in tests/test_ingest_dedup.py)."""
     cfg = cfg or PipelineConfig()
     if not docs_files:
         # S4 parity (reference phases.py:117-177): discovering nothing is
@@ -361,46 +373,101 @@ def run_kg_build_resumable(
         from .ingest_dedup import SeenKeyStore
 
         seen_store = SeenKeyStore(seen_store_dir, key_col="doc_key")
+    graph_store = None
+    if graph_store_dir is not None:
+        from .compact import IncrementalStore
+
+        graph_store = IncrementalStore(graph_store_dir)
     manifest = Manifest(os.path.join(out_dir, "manifest.jsonl"))
     partitions = [(f"p{idx:05d}", f) for idx, f in enumerate(docs_files)]
     pending = manifest.pending([p for p, _ in partitions])
     done_count = 0
     skipped = len(partitions) - len(pending)
+    import glob as _glob
+
     def _ingest_dockeys(pid: str) -> None:
         """Journal a completed partition's fresh keys (idempotent; also
         heals a crash that landed between manifest commit and ingest)."""
         if seen_store is None or pid in seen_store.ingested_keys():
             return
         keys_dir = os.path.join(out_dir, "dockeys", pid)
-        import glob as _glob
-
         if _glob.glob(os.path.join(keys_dir, "**", "*.parquet"), recursive=True):
             keys_ds = read_table(keys_dir)
         else:  # zero-fresh partition: journal the pid with no data
             keys_ds = rd.from_arrow(pa.table({"doc_key": pa.array([], pa.string())}))
         seen_store.ingest(keys_ds, ingest_key=pid)
 
+    _EMPTY_NODES = pa.table(
+        {
+            "entity_id": pa.array([], pa.string()),
+            "label": pa.array([], pa.string()),
+            "name": pa.array([], pa.string()),
+            "mentions": pa.array([], pa.int64()),
+        }
+    )
+    _EMPTY_EDGES = pa.table(
+        {
+            "src_id": pa.array([], pa.string()),
+            "type": pa.array([], pa.string()),
+            "dst_id": pa.array([], pa.string()),
+            "n_mentions": pa.array([], pa.int64()),
+            "first_doc": pa.array([], pa.string()),
+            "last_doc": pa.array([], pa.string()),
+        }
+    )
+
+    def _ingest_graph(pid: str) -> dict | None:
+        """Apply one completed partition's node/edge partials to the
+        incremental graph store (idempotent under the partition id;
+        heals a commit→ingest crash the same way the seen store does)."""
+        if graph_store is None or pid in graph_store.ingested_keys():
+            return None
+        linked_dir = os.path.join(out_dir, "linked", pid)
+        if _glob.glob(os.path.join(linked_dir, "**", "*.parquet"), recursive=True):
+            linked_p = read_table(linked_dir)
+            nodes_p = nodes_from_linked_triples(linked_p).materialize()
+            edges_p = edges_from_linked_triples(linked_p).materialize()
+        else:  # zero-fresh partition: journal the pid with no data
+            nodes_p = rd.from_arrow(_EMPTY_NODES)
+            edges_p = rd.from_arrow(_EMPTY_EDGES)
+        return graph_store.ingest(nodes_p, edges_p, key=pid)
+
+    ingest_stats: list[dict] = []
     for pid, path in partitions:
         if pid not in pending:
             _ingest_dockeys(pid)  # heal commit→ingest crash on resume
+            _ingest_graph(pid)
             continue
         if fail_after is not None and done_count >= fail_after:
             return {"status": "aborted", "completed": skipped + done_count, "total": len(partitions)}
         counts = run_partition(path, out_dir, pid, cfg, schema, alias_table, seen_store=seen_store)
         manifest.commit(PartitionRecord(partition_id=pid, status="done", rows=counts["chunks"], extra=counts))
         _ingest_dockeys(pid)
+        st = _ingest_graph(pid)
+        if st is not None:
+            ingest_stats.append({"pid": pid, **st.get("stats", {})})
         done_count += 1
 
     # Global phase over all completed partition outputs. The global
-    # tables are derived (recomputed on every run, including resume), so
-    # clear them first — write_parquet APPENDS part files and a re-run
-    # would otherwise double every node/edge row.
-    import glob as _glob
+    # tables are derived, so clear them first — write_parquet APPENDS
+    # part files and a re-run would otherwise double every node/edge row.
     import shutil
 
     for t in ("nodes", "edges"):
         shutil.rmtree(os.path.join(out_dir, t), ignore_errors=True)
-    if _glob.glob(os.path.join(out_dir, "linked", "**", "*.parquet"), recursive=True):
+    if graph_store is not None:
+        # O(delta): every partition is already merged into the versioned
+        # store; the final tables are hardlinked views of CURRENT
+        from .compact import _hardlink_tree
+
+        cur = graph_store.current_dir()
+        for t in ("nodes", "edges"):
+            src = os.path.join(cur, t) if cur else None
+            if src and os.path.isdir(src):
+                _hardlink_tree(src, os.path.join(out_dir, t))
+            else:
+                os.makedirs(os.path.join(out_dir, t), exist_ok=True)
+    elif _glob.glob(os.path.join(out_dir, "linked", "**", "*.parquet"), recursive=True):
         linked = read_table(os.path.join(out_dir, "linked"))
         nodes = nodes_from_linked_triples(linked)
         edges = edges_from_linked_triples(linked)
@@ -419,6 +486,11 @@ def run_kg_build_resumable(
         "nodes_dir": os.path.join(out_dir, "nodes"),
         "edges_dir": os.path.join(out_dir, "edges"),
     }
+    if graph_store is not None:
+        # per-partition incremental merge evidence: which pids this RUN
+        # ingested and how many buckets each touched (already-journaled
+        # pids are absent — they cost nothing on resume)
+        result["graph_ingests"] = ingest_stats
     from ..stages.llm_extractor import collect_metrics
     from ..state.manifest import resolve_git_commit, write_run_log
 

@@ -246,3 +246,71 @@ class TestResumableSeenStore:
         assert r["status"] == "done" and r["recomputed"] == 0
         store2 = SeenKeyStore(store_dir, key_col="doc_key")
         assert store2.ingested_keys() == ["p00000", "p00001"]
+
+
+class TestResumableGraphStore:
+    """run_kg_build_resumable(graph_store_dir=...): the GLOBAL phase is
+    O(delta partitions) on resume — per-partition node/edge partials
+    merge into a persistent IncrementalStore under the partition id."""
+
+    def _files(self, tmp_path, corpus, name, parts=3):
+        import pyarrow.parquet as pq
+
+        docs = corpus.documents
+        step = docs.num_rows // parts
+        out = []
+        for i in range(parts):
+            p = str(tmp_path / f"{name}_{i}.parquet")
+            sl = docs.slice(i * step, step if i < parts - 1 else docs.num_rows - i * step)
+            pq.write_table(sl, p)
+            out.append(p)
+        return out
+
+    def test_kill_resume_global_phase_is_o_delta(self, ray_session, tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from fancyrag_ray.config import PipelineConfig
+        from fancyrag_ray.fixtures import generate_corpus
+        from fancyrag_ray.pipelines.compact import IncrementalStore
+        from fancyrag_ray.pipelines.kg_build import run_kg_build_resumable
+
+        corpus = generate_corpus(60, seed=9)
+        files = self._files(tmp_path, corpus, "g", parts=3)
+        cfg = PipelineConfig(embed_dim=16)
+        gstore = str(tmp_path / "graph_store")
+        out = str(tmp_path / "out")
+
+        # kill after 2 of 3 partitions
+        r1 = run_kg_build_resumable(files, out, cfg=cfg, alias_table=corpus.aliases,
+                                    fail_after=2, graph_store_dir=gstore)
+        assert r1["status"] == "aborted" and r1["completed"] == 2
+        assert IncrementalStore(gstore).ingested_keys() == ["p00000", "p00001"]
+
+        # resume: only the third partition recomputes AND only it ingests
+        r2 = run_kg_build_resumable(files, out, cfg=cfg, alias_table=corpus.aliases,
+                                    graph_store_dir=gstore)
+        assert r2["status"] == "done" and r2["recomputed"] == 1
+        assert [s["pid"] for s in r2["graph_ingests"]] == ["p00002"]
+        assert IncrementalStore(gstore).ingested_keys() == ["p00000", "p00001", "p00002"]
+
+        # the store-backed nodes/edges equal a plain one-shot derivation
+        ref = run_kg_build_resumable(files, str(tmp_path / "ref"), cfg=cfg,
+                                     alias_table=corpus.aliases)
+
+        def _tbl(d, t):
+            df = rd.read_parquet(str(tmp_path / d / t)).to_pandas()
+            df = df.drop(columns=[c for c in ("bucket",) if c in df.columns])
+            cols = sorted(df.columns)
+            return df[cols].sort_values(cols).reset_index(drop=True)
+
+        for t in ("nodes", "edges"):
+            assert _tbl("out", t).equals(_tbl("ref", t)), t
+
+        # a THIRD run over the same inputs: nothing recomputes, nothing
+        # ingests — the global phase is pure hardlink metadata
+        r3 = run_kg_build_resumable(files, out, cfg=cfg, alias_table=corpus.aliases,
+                                    graph_store_dir=gstore)
+        assert r3["recomputed"] == 0 and r3["graph_ingests"] == []
+        for t in ("nodes", "edges"):
+            assert _tbl("out", t).equals(_tbl("ref", t)), t
