@@ -536,14 +536,19 @@ def tfidf_top_terms(sf_dir: str, k: int = 5) -> rd.Dataset:
     if fits_broadcast(n_vocab, dataset_mean_row_bytes(df, n_vocab)):
         import ray as _ray
 
-        df_map = {}
-        for b in df.iter_batches(batch_format="pyarrow"):
-            df_map.update(zip(b.column("term").to_pylist(), b.column("df").to_pylist()))
-        df_map_ref = _ray.put(df_map)
+        # broadcast the vocabulary as an Arrow array + aligned df vector:
+        # per-batch lookup is one vectorized pc.index_in (hash probe in
+        # C++), not a Python dict access per term row
+        df_tbl = pa.concat_tables(list(df.iter_batches(batch_format="pyarrow")))
+        term_arr = df_tbl.column("term").combine_chunks()
+        df_vec = df_tbl.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
+        term_ref = _ray.put(term_arr)
+        df_ref = _ray.put(df_vec)
 
         def score(t: pa.Table) -> pa.Table:
-            m = _ray.get(df_map_ref)
-            dfs = np.array([m[x] for x in t.column("term").to_pylist()], np.float64)
+            terms, dfs_all = _ray.get(term_ref), _ray.get(df_ref)
+            idx = pc.index_in(t.column("term"), value_set=terms).to_numpy(zero_copy_only=False)
+            dfs = dfs_all[idx]  # every tf term has a df row by construction
             tfs = t.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
             return t.append_column("tfidf", pa.array(tfs * n_docs / dfs, pa.float64()))
 

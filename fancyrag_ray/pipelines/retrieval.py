@@ -176,11 +176,12 @@ def hybrid_search(
 def semantic_context(linked: rd.Dataset, hit_chunk_uids: list[str]) -> pd.DataFrame:
     """Entities + relations contributed by the hit chunks (semi-join with
     broadcast hit set; dedup by (subj_id, pred, obj_id))."""
-    hits = set(hit_chunk_uids)
+    hits = pa.array(sorted(set(hit_chunk_uids)), pa.string())
 
     def f(t: pa.Table) -> pa.Table:
-        mask = pa.array([u in hits for u in t.column("chunk_uid").to_pylist()], pa.bool_())
-        return t.filter(mask)
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t.column("chunk_uid"), value_set=hits))
 
     df = linked.map_batches(f, batch_format="pyarrow").to_pandas()
     if df.empty:

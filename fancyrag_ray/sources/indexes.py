@@ -416,9 +416,12 @@ class FtsChunkIndex:
         want = set(terms)
         id_col = self.id_col
 
+        want_arr = _pa.array(sorted(want), _pa.string())
+
         def pick(t: _pa.Table) -> _pa.Table:
-            mask = _pa.array([x in want for x in t.column("term").to_pylist()], _pa.bool_())
-            return t.filter(mask)
+            import pyarrow.compute as _pc
+
+            return t.filter(_pc.is_in(t.column("term"), value_set=want_arr))
 
         from ray.data.aggregate import Sum as _Sum
 

@@ -35,9 +35,13 @@ class BucketedTable:
     @classmethod
     def build(cls, ds, out_dir: str, key_col: str, n_buckets: int = 64) -> "BucketedTable":
         def add_bucket(t: pa.Table) -> pa.Table:
-            buckets = [
-                _bucket_of(k, n_buckets) for k in t.column(key_col).to_pylist()
-            ]
+            # crc32 per key is required (the read side prunes with the
+            # same _bucket_of), but the string materialization is one
+            # vectorized cast, not a per-row str() call
+            import pyarrow.compute as pc
+
+            keys = pc.cast(t.column(key_col), pa.string()).to_pylist()
+            buckets = [zlib.crc32(k.encode()) % n_buckets for k in keys]
             return t.append_column("bucket", pa.array(buckets, pa.int32()))
 
         os.makedirs(out_dir, exist_ok=True)
