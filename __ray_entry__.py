@@ -338,6 +338,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return f(sf_dir)
 
+    def repetition_stats(sf_dir: str):
+        """Gopher-style repetition quality signals (duplicate-line and
+        top-bigram fractions as integer pairs) — hash-exact vs its
+        DuckDB mirror."""
+        from fancyrag_ray.functions.quality import repetition_stats as f
+
+        return f(sf_dir)
+
+    def embedding_kmeans(sf_dir: str):
+        """Distributed Lloyd k-means over the embeddings → per-cluster
+        sizes. Iterative/float — rows-only driver check; planted-cluster
+        recovery and numpy-Lloyd equivalence pinned in
+        tests/test_clustering.py."""
+        from fancyrag_ray.functions.clustering import embedding_kmeans as f
+
+        return f(sf_dir)
+
     # ORDER MATTERS: the driver's correctness pass is budget-capped (r03
     # evaluated only the first 50 dict entries), so every oracled query —
     # including the end-to-end flagship/graph rows — sits BEFORE the
@@ -385,6 +402,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": T.quality_scores,
         "lang_id_documents": lang_id_documents,
         "doc_fingerprints": doc_fingerprints,
+        "repetition_stats": repetition_stats,
+        "temperature_sample_documents": A.temperature_sample_documents,
         "tfidf_top_terms": T.tfidf_top_terms,
         "doc_rollup": T.doc_rollup,
         "sample_documents_hash": T.sample_documents_hash,
@@ -414,6 +433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_top_sources": approx_top_sources,
         "approx_price_quantiles": approx_price_quantiles,
         "entity_pagerank": entity_pagerank,
+        "embedding_kmeans": embedding_kmeans,
         "hybrid_search_chunks": hybrid_search_chunks,
         "hybrid_search_chunks_indexed": hybrid_search_chunks_indexed,
     }
@@ -492,6 +512,12 @@ def oracle_sql() -> dict[str, str]:
         # outputs chosen so the DuckDB mirror is hash-exact)
         "lang_id_documents": Q.LANG_ID_DOCUMENTS_SQL,
         "doc_fingerprints": Q.DOC_FINGERPRINTS_SQL,
+        # Gopher-style repetition signals — integer-pair outputs
+        "repetition_stats": Q.REPETITION_STATS_SQL,
+        # T=2 temperature rebalancing by lang — the rates are
+        # integer-exact (floor(sqrt(bigint)) is engine-independent), so
+        # the mirror recomputes them from the same counts
+        "temperature_sample_documents": A.TEMPERATURE_SAMPLE_DOCUMENTS_SQL,
         # degree histogram THROUGH the full flagship DAG (flagship SQL
         # as a CTE) — a second end-to-end hash check
         "entity_degree_hist": G.entity_degree_hist_sql(),

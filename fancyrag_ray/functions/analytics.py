@@ -734,3 +734,78 @@ WITH d AS (
 )
 SELECT doc_id, n_tokens, (cum - n_tokens) // 1024 AS pack_id FROM c
 """
+
+
+# ---------------------------------------------------------------------------
+# temperature-based source rebalancing
+# ---------------------------------------------------------------------------
+
+
+def temperature_rates_bp(counts: dict[str, int]) -> dict[str, int]:
+    """Per-group basis-point sampling rates that rebalance a skewed
+    corpus toward T=2 temperature sampling (the multilingual-pretraining
+    rebalancer: sample group g with probability ∝ count_g^(1/T); the
+    per-row inclusion rate is then ∝ count_g^(1/T − 1) = count_g^(−1/2),
+    normalized so the SMALLEST group keeps 100%).
+
+    INTEGER-EXACT construction so a SQL mirror reproduces every rate
+    bit-for-bit: rate_bp = floor(sqrt((10^8 · c_min) // c)). The
+    argument of sqrt is an exact integer ≤ 10^8 (fits a double), IEEE
+    sqrt is correctly rounded in every engine, and a non-square's root
+    is ≫ 1 ulp away from an integer — so floor agrees everywhere.
+    """
+    import math
+
+    cmin = min(counts.values())
+    return {
+        g: int(math.floor(math.sqrt((100_000_000 * cmin) // c)))
+        for g, c in counts.items()
+    }
+
+
+def temperature_sample_documents(sf_dir: str) -> rd.Dataset:
+    """Driver query: T=2 temperature resampling of documents by ``lang``
+    (en dominates the corpus ~3:1; rare languages keep 100%, en keeps
+    ~sqrt(c_min/c_en)). Two phases: a tiny per-lang count groupby, then
+    the shuffle-free md5-threshold filter (``stratified_hash_sample``)
+    with the integer-exact rates — deterministic, resumable, and
+    hash-exact vs the SQL mirror that recomputes the same rates."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def cpartial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "c"])
+
+    from ray.data.aggregate import Sum as _Sum
+
+    counts_tbl = (
+        ds.map_batches(cpartial, batch_format="pyarrow", batch_size=None)
+        .groupby("lang")
+        .aggregate(_Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    counts = dict(zip(counts_tbl["lang"], counts_tbl["c"]))
+    rates = temperature_rates_bp(counts)
+    return stratified_hash_sample(ds, strata_col="lang", id_col="doc_id", rates_bp=rates)
+
+
+TEMPERATURE_SAMPLE_DOCUMENTS_SQL = """
+WITH counts AS (
+  SELECT lang, COUNT(*)::BIGINT AS c FROM documents GROUP BY lang
+),
+mn AS (SELECT MIN(c) AS cmin FROM counts),
+rates AS (
+  SELECT lang,
+         CAST(FLOOR(SQRT(CAST((100000000 * mn.cmin) // c AS DOUBLE))) AS BIGINT) AS rate_bp
+  FROM counts, mn
+),
+th AS (
+  SELECT lang,
+         CASE WHEN (65536 * rate_bp) // 10000 >= 65536 THEN 'g'
+              ELSE printf('%04x', (65536 * rate_bp) // 10000) END AS thr
+  FROM rates
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN th USING (lang)
+WHERE SUBSTR(MD5(CAST(d.doc_id AS VARCHAR)), 1, 4) < th.thr
+"""

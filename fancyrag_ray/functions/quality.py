@@ -256,3 +256,144 @@ SELECT doc_id,
   END AS fingerprint
 FROM p
 """
+
+
+def repetition_stats(sf_dir: str) -> rd.Dataset:
+    """Gopher-style repetition quality signals per document — the
+    repetition-filter family of a pretraining data pipeline (duplicate
+    lines and dominant word bigrams flag boilerplate/spam; see Rae et
+    al. 2021 "Scaling Language Models", Appendix A quality heuristics).
+
+    INTEGER outputs only (the micro-integer oracle trick):
+
+    - ``n_lines`` / ``n_unique_lines``: non-empty ``\\n``-split lines,
+      total vs distinct — ``1 - unique/total`` is the duplicate-line
+      fraction;
+    - ``n_dup_line_occurrences``: rows belonging to a line that occurs
+      more than once (the numerator of Gopher's "fraction of lines in
+      duplicated lines");
+    - ``n_bigrams`` / ``max_bigram_count``: word-bigram total vs the
+      most frequent bigram's count — ``max/total`` is the top-2-gram
+      fraction.
+
+    Vectorized: one ``split_pattern`` + ``list_parent_indices`` per
+    batch, then a single pandas groupby per signal (C-level hash
+    aggregation); no per-row Python. Every doc emits a row (zeros for
+    empty text) so the row count is corpus-stable."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        n = t.num_rows
+        texts = pc.fill_null(t.column("text"), "")
+
+        def _per_doc(splits, agg_max=False):
+            """(totals, uniques, dup_occurrences[, max_count]) per doc
+            from a list column of tokens; empty tokens dropped."""
+            flat = pc.list_flatten(splits)
+            parent = pc.list_parent_indices(splits).to_numpy(zero_copy_only=False)
+            keep = pc.not_equal(flat, pa.scalar("")).to_numpy(zero_copy_only=False)
+            return flat.to_numpy(zero_copy_only=False)[keep], parent[keep]
+
+        # lines ------------------------------------------------------
+        lines, lp = _per_doc(pc.split_pattern(texts, "\n"))
+        n_lines = np.bincount(lp, minlength=n).astype(np.int64)
+        if len(lines):
+            lc = (
+                pd.DataFrame({"p": lp, "v": lines})
+                .groupby(["p", "v"], sort=False)
+                .size()
+                .reset_index(name="c")
+            )
+            g = lc.groupby("p", sort=False)["c"]
+            uniq = np.zeros(n, np.int64)
+            uniq[g.size().index] = g.size().to_numpy()
+            dup = np.zeros(n, np.int64)
+            dups = lc[lc["c"] > 1].groupby("p", sort=False)["c"].sum()
+            dup[dups.index] = dups.to_numpy()
+        else:
+            uniq = np.zeros(n, np.int64)
+            dup = np.zeros(n, np.int64)
+
+        # word bigrams -----------------------------------------------
+        words, wp = _per_doc(pc.split_pattern_regex(texts, r"\s+"))
+        n_big = np.zeros(n, np.int64)
+        mx = np.zeros(n, np.int64)
+        if len(words) >= 2:
+            adj = wp[:-1] == wp[1:]
+            if adj.any():
+                bg = pd.Series(words[:-1][adj]) + " " + pd.Series(words[1:][adj])
+                bp_ = wp[:-1][adj]
+                bc = (
+                    pd.DataFrame({"p": bp_, "v": bg.to_numpy()})
+                    .groupby(["p", "v"], sort=False)
+                    .size()
+                    .reset_index(name="c")
+                )
+                gg = bc.groupby("p", sort=False)["c"]
+                tot = gg.sum()
+                n_big[tot.index] = tot.to_numpy()
+                m = gg.max()
+                mx[m.index] = m.to_numpy()
+
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_lines": pa.array(n_lines, pa.int64()),
+                "n_unique_lines": pa.array(uniq, pa.int64()),
+                "n_dup_line_occurrences": pa.array(dup, pa.int64()),
+                "n_bigrams": pa.array(n_big, pa.int64()),
+                "max_bigram_count": pa.array(mx, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+REPETITION_STATS_SQL = """
+WITH base AS (
+  SELECT doc_id, COALESCE(text, '') AS text FROM documents
+),
+l AS (
+  SELECT doc_id, list_filter(string_split(text, chr(10)), x -> x <> '') AS ls
+  FROM base
+),
+lc AS (
+  SELECT doc_id, line, COUNT(*)::BIGINT AS c
+  FROM (SELECT doc_id, UNNEST(ls) AS line FROM l)
+  GROUP BY doc_id, line
+),
+lm AS (
+  SELECT doc_id,
+         SUM(c)::BIGINT AS n_lines,
+         COUNT(*)::BIGINT AS n_unique_lines,
+         SUM(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS n_dup_line_occurrences
+  FROM lc GROUP BY doc_id
+),
+w AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+  FROM base
+),
+bg AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bigram
+  FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 2
+),
+bc AS (
+  SELECT doc_id, bigram, COUNT(*)::BIGINT AS c FROM bg GROUP BY doc_id, bigram
+),
+bm AS (
+  SELECT doc_id, SUM(c)::BIGINT AS n_bigrams, MAX(c)::BIGINT AS max_bigram_count
+  FROM bc GROUP BY doc_id
+)
+SELECT b.doc_id,
+       COALESCE(lm.n_lines, 0) AS n_lines,
+       COALESCE(lm.n_unique_lines, 0) AS n_unique_lines,
+       COALESCE(lm.n_dup_line_occurrences, 0) AS n_dup_line_occurrences,
+       COALESCE(bm.n_bigrams, 0) AS n_bigrams,
+       COALESCE(bm.max_bigram_count, 0) AS max_bigram_count
+FROM base b
+LEFT JOIN lm ON b.doc_id = lm.doc_id
+LEFT JOIN bm ON b.doc_id = bm.doc_id
+"""
