@@ -426,6 +426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_lsh": S.knn_cosine_lsh,
         "knn_cosine_ivf": S.knn_cosine_ivf,
         "knn_cosine_ivf_indexed": knn_cosine_ivf_indexed,
+        "knn_cosine_pq": S.knn_cosine_pq,
         "embedding_near_duplicates": S.embedding_near_duplicates,
         "near_dup_minhash": near_dup_minhash,
         "near_dup_simhash": near_dup_simhash,

@@ -160,3 +160,64 @@ class TestEmbeddingNearDup:
         assert set(range(1000)) <= members
         # star cap bounds pair count far below the 1000*999/2 clique
         assert len(out) < 40_000
+
+
+class TestPq:
+    def test_pq_recall_driver_vectors(self, ray_session):
+        """Gaussian driver vectors are PQ's worst case; candidate
+        over-fetch (C=100 ≈ 20% of this table) still recalls ≥0.8 of
+        the exact top-k, and the rerank output is exact cosine order
+        over the surviving candidates."""
+        from fancyrag_ray.functions.similarity import knn_cosine, knn_cosine_pq
+
+        got = list(knn_cosine_pq(SF).to_pandas()["vec_id"])
+        exact = list(knn_cosine(SF).to_pandas()["vec_id"])
+        assert len(got) == len(exact) == 10
+        assert len(set(got) & set(exact)) >= 8
+
+    def test_pq_exact_on_clusterable_geometry(self, ray_session, tmp_path):
+        """On clusterable (real-embedding-like) geometry PQ candidates
+        recall the full top-k and the rerank equals brute force."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rng = np.random.default_rng(17)
+        centers = rng.normal(0, 1, (8, 64)) * 6.0
+        vecs = np.concatenate(
+            [centers[i] + rng.normal(0, 0.3, (60, 64)) for i in range(8)]
+        ).astype(np.float32)
+        ids = np.arange(len(vecs), dtype=np.int64)
+        d = str(tmp_path / "pq")
+        import os
+
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(
+                        [v for v in vecs], pa.list_(pa.float32())
+                    ),
+                }
+            ),
+            f"{d}/embeddings.parquet",
+        )
+        from fancyrag_ray.functions.similarity import knn_cosine, knn_cosine_pq
+
+        got = list(knn_cosine_pq(d).to_pandas()["vec_id"])
+        exact = list(knn_cosine(d).to_pandas()["vec_id"])
+        assert got == exact
+
+    def test_codes_are_8_bytes(self, ray_session):
+        """The compression claim: m=8 codes are one byte each."""
+        import numpy as np
+
+        from fancyrag_ray.functions.similarity import pq_encode, train_pq_codebooks
+
+        rng = np.random.default_rng(1)
+        x = rng.normal(0, 1, (256, 64))
+        books = train_pq_codebooks(x, m=8, kc=16)
+        codes = pq_encode(x, books)
+        assert codes.shape == (256, 8) and codes.dtype == np.uint8
+        assert codes.nbytes == 256 * 8  # vs 256*64*4 float32 = 32x
