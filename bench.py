@@ -320,6 +320,15 @@ def main() -> None:
             "decontaminate_documents": timed(
                 __import__("__ray_entry__").queries()["decontaminate_documents"]
             ),
+            # round-4 additions
+            "repetition_stats": timed(
+                __import__("fancyrag_ray.functions.quality", fromlist=["q"]).repetition_stats
+            ),
+            "temperature_sample_documents": timed(A.temperature_sample_documents),
+            "embedding_kmeans": timed(
+                __import__("fancyrag_ray.functions.clustering", fromlist=["c"]).embedding_kmeans
+            ),
+            "knn_cosine_pq": timed(S.knn_cosine_pq),
         }
 
     print(json.dumps({
