@@ -96,9 +96,22 @@ def _fetch_payload(server: KgServer, entity_id: str) -> dict:
 class KgHttpServer:
     """Threaded HTTP wrapper: ``start()`` binds and serves on a
     background thread (port 0 picks a free port), ``stop()`` shuts down.
-    Also usable as a context manager."""
+    Also usable as a context manager.
 
-    def __init__(self, server: KgServer, host: str = "127.0.0.1", port: int = 0):
+    ``auth_token`` enables the reference's static-token mode
+    (``StaticTokenVerifier``, servers/mcp_hybrid_google.py:40-55):
+    ``/search`` and ``/fetch`` then require ``Authorization: Bearer
+    <token>`` and answer 401 otherwise; ``/health`` stays open (the
+    reference's health route is registered outside the auth provider).
+    """
+
+    def __init__(
+        self,
+        server: KgServer,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        auth_token: str | None = None,
+    ):
         self.kg = server
         kg = server
 
@@ -114,11 +127,19 @@ class KgHttpServer:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def _authorized(self) -> bool:
+                if auth_token is None:
+                    return True
+                got = self.headers.get("Authorization", "")
+                return got == f"Bearer {auth_token}"
+
             def do_GET(self):  # noqa: N802 (stdlib handler contract)
                 url = urlparse(self.path)
                 qs = parse_qs(url.query)
                 try:
-                    if url.path == "/health":
+                    if url.path != "/health" and not self._authorized():
+                        self._send(401, {"error": "unauthorized"})
+                    elif url.path == "/health":
                         h = kg.health()
                         self._send(200 if h["status"] == "ok" else 503, h)
                     elif url.path == "/search":

@@ -150,3 +150,38 @@ class TestKgHttpServer:
         assert _get(base, "/fetch")[0] == 400
         assert _get(base, "/search?q=x&top_k=0")[0] == 400  # validate_top_k
         assert _get(base, "/nope")[0] == 404
+
+    def test_static_token_auth(self, server):
+        """Reference StaticTokenVerifier mode: data routes demand the
+        bearer token; health stays open (it is registered outside the
+        auth provider in the reference too)."""
+        import json as _json
+        import urllib.error
+        import urllib.request
+
+        from fancyrag_ray.pipelines.http_serve import KgHttpServer
+
+        srv, *_ = server
+        with KgHttpServer(srv, auth_token="sekrit") as h:
+            host, port = h.address
+            base = f"http://{host}:{port}"
+            assert _get(base, "/health")[0] == 200  # open route
+            code, body = _get(base, "/search?q=x&top_k=2")
+            assert code == 401 and body == {"error": "unauthorized"}
+            assert _get(base, "/fetch?id=z")[0] == 401
+            req = urllib.request.Request(
+                base + "/search?q=launched&top_k=2",
+                headers={"Authorization": "Bearer sekrit"},
+            )
+            with urllib.request.urlopen(req, timeout=30) as r:
+                assert r.status == 200
+                assert "results" in _json.loads(r.read())
+            # wrong token is still rejected
+            req = urllib.request.Request(
+                base + "/fetch?id=z", headers={"Authorization": "Bearer nope"}
+            )
+            try:
+                urllib.request.urlopen(req, timeout=10)
+                raise AssertionError("expected 401")
+            except urllib.error.HTTPError as e:
+                assert e.code == 401
