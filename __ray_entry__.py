@@ -41,6 +41,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from fancyrag_ray.functions import analytics as A
+    from fancyrag_ray.functions import corpus as C
     from fancyrag_ray.functions import relational as R
     from fancyrag_ray.functions import similarity as S
     from fancyrag_ray.functions import textops as T
@@ -316,6 +317,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return f(sf_dir)
 
+    def entity_common_neighbors(sf_dir: str):
+        """Common-neighbor / neighborhood-Jaccard link-prediction pair
+        scores over the flagship KG — oracle-checked end-to-end (the
+        jaccard double is one IEEE division over exact integers)."""
+        from fancyrag_ray.functions.graph import entity_common_neighbors as f
+
+        return f(sf_dir)
+
     def entity_pagerank(sf_dir: str):
         """Symmetric PageRank over the flagship CO_OCCURS edges, top-20
         by rank. Iterative/float — rows-only driver check; equivalence
@@ -398,6 +407,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_mentions": T.term_mentions,
         "doc_term_list": T.doc_term_list,
         "cooccurrence_edges": T.cooccurrence_edges,
+        "cooccurrence_pmi": T.cooccurrence_pmi,
+        # corpus-level lexical statistics (n-gram counts, learned-vocab
+        # quality signal, BM25 ranking) — all hash-exact vs SQL mirrors
+        "top_bigrams": C.top_bigrams,
+        "common_word_fraction": C.common_word_fraction,
+        "fulltext_bm25": C.fulltext_bm25,
         "dedup_exact": T.dedup_exact,
         "quality_scores": T.quality_scores,
         "lang_id_documents": lang_id_documents,
@@ -417,6 +432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_degree_hist": entity_degree_hist,
         "entity_triangles": entity_triangles,
         "entity_components": entity_components,
+        "entity_common_neighbors": entity_common_neighbors,
         # deterministic dedup family + cross-run incremental store
         "near_dup_ngram_jaccard": near_dup_ngram_jaccard,
         "decontaminate_documents": decontaminate_documents,
@@ -442,6 +458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from fancyrag_ray.functions import analytics as A
+    from fancyrag_ray.functions import corpus as C
     from fancyrag_ray.functions import dedup as D
     from fancyrag_ray.functions import graph as G
     from fancyrag_ray.functions import quality as Q
@@ -499,6 +516,14 @@ def oracle_sql() -> dict[str, str]:
         # deterministic in-group order → hash-exact string_agg mirror
         "doc_term_list": T.DOC_TERM_LIST_SQL,
         "cooccurrence_edges": T.COOCCURRENCE_EDGES_SQL,
+        # PMI-weighted co-occurrence: the ratio is the argument of the
+        # log (monotone), so the doubles are bit-identical to SQL
+        "cooccurrence_pmi": T.COOCCURRENCE_PMI_SQL,
+        # corpus lexical stats: bigram counts / learned-vocab common-word
+        # fraction (integer bp) / BM25 with rational-odds idf — all exact
+        "top_bigrams": C.TOP_BIGRAMS_SQL,
+        "common_word_fraction": C.COMMON_WORD_FRACTION_SQL,
+        "fulltext_bm25": C.FULLTEXT_BM25_SQL,
         "dedup_exact": T.DEDUP_EXACT_SQL,
         "quality_scores": T.QUALITY_SCORES_SQL,
         "tfidf_top_terms": T.TFIDF_TOP_TERMS_SQL,
@@ -527,6 +552,8 @@ def oracle_sql() -> dict[str, str]:
         "entity_triangles": G.entity_triangles_sql(),
         # connected components vs a recursive-CTE transitive closure
         "entity_components": G.entity_components_sql(),
+        # common-neighbor / jaccard link prediction through the full DAG
+        "entity_common_neighbors": G.entity_common_neighbors_sql(),
         # end-to-end flagship: chunk→extract→link→edge-reduce vs SQL
         "kg_flagship_edges": T.KG_FLAGSHIP_EDGES_SQL,
         # full LLM actor path vs per-chunk pair expansion (deterministic

@@ -582,3 +582,216 @@ def entity_pagerank(sf_dir: str, top: int = 20) -> rd.Dataset:
     # matters on exact float ties, where ascending-node is what the
     # docstring promises — use a two-key sort with per-key flags)
     return ranks.sort(["rank", "node"], descending=[True, False]).limit(top)
+
+
+def common_neighbor_scores(
+    edges: rd.Dataset,
+    src_col: str = "src_id",
+    dst_col: str = "dst_id",
+    top: int = 100,
+    broadcast_budget: int | None = None,
+) -> rd.Dataset:
+    """Link-prediction pair scores: for every node pair sharing ≥1
+    neighbor, the common-neighbor count, endpoint degrees, and the
+    neighborhood Jaccard ``n_common / (deg_u + deg_v − n_common)``;
+    top-``top`` by (n_common desc, u, v).
+
+    Composition (the triangle machinery without the degree orientation —
+    here EVERY pair of a pivot's neighbors is a candidate, not just the
+    oriented wedge): normalize undirected → adjacency both directions →
+    hash-partition by pivot so each pivot's full neighbor list sits in
+    one block → per-block vectorized pair generation → pair-count
+    combine. The (node → degree) map rides in via the same
+    broadcast-or-join tier as :func:`triangle_counts`; jaccard is one
+    IEEE division over exact integer operands, so the doubles are
+    bit-identical to the SQL mirror.
+
+    Scale bound (documented per the custom-operator contract): pair
+    generation is O(Σ deg(w)²) — a hub pivot of degree d emits d²/2
+    pairs. Real link-prediction deployments cap pivot degree (drop
+    pivots above ~10⁴ neighbors: their evidence is weakest by the very
+    PMI/Adamic-Adar logic this feeds); the exact-oracle driver query
+    runs uncapped on the bounded-vocabulary flagship graph."""
+    _empty = pa.table(
+        {
+            "u": pa.array([], pa.string()),
+            "v": pa.array([], pa.string()),
+            "n_common": pa.array([], pa.int64()),
+            "deg_u": pa.array([], pa.int64()),
+            "deg_v": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+
+    def norm(t: pa.Table) -> pa.Table:
+        a = t.column(src_col).cast(pa.string())
+        b = t.column(dst_col).cast(pa.string())
+        a_lo = pc.less_equal(a, b)
+        lo = pc.if_else(a_lo, a, b)
+        hi = pc.if_else(a_lo, b, a)
+        out = pa.table({"a": lo, "b": hi})
+        out = out.filter(pc.not_equal(out.column("a"), out.column("b")))
+        return out.group_by(["a", "b"]).aggregate([])
+
+    n_raw = edges.count()
+    if n_raw == 0:
+        return rd.from_arrow(_empty)
+    und = hash_partitioned_combine(
+        edges.map_batches(norm, batch_format="pyarrow", batch_size=None),
+        ["a", "b"],
+        lambda t: t.group_by(["a", "b"]).aggregate([]),
+        adaptive_partitions(8, n_rows=n_raw),
+    ).materialize()
+    n_edges = und.count()
+    if n_edges == 0:
+        return rd.from_arrow(_empty)
+
+    adj = und.map_batches(
+        lambda t: pa.table({"pivot": t.column("a"), "nbr": t.column("b")}),
+        batch_format="pyarrow",
+    ).union(
+        und.map_batches(
+            lambda t: pa.table({"pivot": t.column("b"), "nbr": t.column("a")}),
+            batch_format="pyarrow",
+        )
+    ).materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"node": t.column("pivot")}).group_by(["node"]).aggregate([([], "count_all")])
+        return g.rename_columns(["node", "deg"])
+
+    deg = hash_partitioned_combine(
+        adj.map_batches(deg_partial, batch_format="pyarrow", batch_size=None),
+        ["node"],
+        lambda t: t.group_by(["node"]).aggregate([("deg", "sum")]).rename_columns(["node", "deg"]),
+        adaptive_partitions(8, n_rows=2 * n_edges),
+    ).materialize()
+
+    def nbr_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"u": pa.array([], pa.string()), "v": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+        if t.num_rows < 2:
+            return empty
+        df = t.to_pandas()
+        us, vs = [], []
+        for _, g in df.groupby("pivot", sort=False):
+            nb = np.sort(g["nbr"].to_numpy(dtype=object))
+            m = len(nb)
+            if m < 2:
+                continue
+            ai, bi = np.triu_indices(m, k=1)
+            us.append(nb[ai])
+            vs.append(nb[bi])
+        if not us:
+            return empty
+        pt = pa.table(
+            {"u": pa.array(np.concatenate(us), pa.string()), "v": pa.array(np.concatenate(vs), pa.string())}
+        )
+        g = pt.group_by(["u", "v"]).aggregate([([], "count_all")])
+        return g.rename_columns(["u", "v", "n"])
+
+    pair_partials = hash_partitioned_combine(
+        adj, ["pivot"], nbr_pairs, adaptive_partitions(8, n_rows=2 * n_edges)
+    )
+    cn = hash_partitioned_combine(
+        pair_partials,
+        ["u", "v"],
+        lambda t: t.group_by(["u", "v"]).aggregate([("n", "sum")]).rename_columns(["u", "v", "n_common"]),
+        adaptive_partitions(8, n_rows=2 * n_edges),
+    ).materialize()
+    if cn.count() == 0:
+        return rd.from_arrow(_empty)
+
+    n_nodes = deg.count()
+    use_broadcast = fits_broadcast(
+        n_nodes,
+        dataset_mean_row_bytes(deg, n_nodes) + 8.0,
+        **({"budget_bytes": broadcast_budget} if broadcast_budget is not None else {}),
+    )
+    if use_broadcast:
+        deg_tbl = pa.concat_tables(list(deg.iter_batches(batch_format="pyarrow")))
+        node_ref = ray.put(deg_tbl.column("node").combine_chunks())
+        deg_ref = ray.put(deg_tbl.column("deg").to_numpy(zero_copy_only=False))
+
+        def attach(t: pa.Table) -> pa.Table:
+            na, dv = ray.get(node_ref), ray.get(deg_ref)
+            iu = pc.index_in(t.column("u"), value_set=na).to_numpy(zero_copy_only=False)
+            iv = pc.index_in(t.column("v"), value_set=na).to_numpy(zero_copy_only=False)
+            return (
+                t.append_column("deg_u", pa.array(dv[iu], pa.int64()))
+                .append_column("deg_v", pa.array(dv[iv], pa.int64()))
+            )
+
+        scored = cn.map_batches(attach, batch_format="pyarrow")
+    else:
+        jparts = adaptive_partitions(8, n_rows=cn.count())
+        scored = cn.join(
+            deg.map_batches(lambda t: t.rename_columns(["u", "deg_u"]), batch_format="pyarrow"),
+            join_type="inner", num_partitions=jparts, on=("u",),
+        ).join(
+            deg.map_batches(lambda t: t.rename_columns(["v", "deg_v"]), batch_format="pyarrow"),
+            join_type="inner", num_partitions=jparts, on=("v",),
+        )
+
+    def jaccard(t: pa.Table) -> pa.Table:
+        ncm = t.column("n_common").to_numpy(zero_copy_only=False)
+        du = t.column("deg_u").to_numpy(zero_copy_only=False)
+        dv = t.column("deg_v").to_numpy(zero_copy_only=False)
+        jac = ncm.astype(np.float64) / (du + dv - ncm).astype(np.float64)
+        return pa.table(
+            {
+                "u": t.column("u"),
+                "v": t.column("v"),
+                "n_common": t.column("n_common").cast(pa.int64()),
+                "deg_u": t.column("deg_u").cast(pa.int64()),
+                "deg_v": t.column("deg_v").cast(pa.int64()),
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+
+    def prune(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("n_common", "descending"), ("u", "ascending"), ("v", "ascending")]
+        )
+        return t.take(idx[:top])
+
+    return (
+        scored.map_batches(jaccard, batch_format="pyarrow")
+        .map_batches(prune, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(prune, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def entity_common_neighbors(sf_dir: str) -> rd.Dataset:
+    """Common-neighbor / neighborhood-Jaccard link-prediction scores over
+    the flagship KG — oracle-checked end-to-end (flagship SQL as a CTE →
+    adjacency self-join on the shared neighbor → degree join)."""
+    return common_neighbor_scores(_flagship_edges(sf_dir))
+
+
+ENTITY_COMMON_NEIGHBORS_SQL_TEMPLATE = """
+WITH edges AS ({edges_sql}),
+norm AS (
+  SELECT LEAST(src_id, dst_id) AS a, GREATEST(src_id, dst_id) AS b
+  FROM edges WHERE src_id <> dst_id GROUP BY 1, 2
+),
+adj AS (SELECT a AS node, b AS nbr FROM norm UNION ALL SELECT b, a FROM norm),
+deg AS (SELECT node, COUNT(*)::BIGINT AS deg FROM adj GROUP BY node),
+pairs AS (
+  SELECT a1.node AS u, a2.node AS v, COUNT(*)::BIGINT AS n_common
+  FROM adj a1 JOIN adj a2 ON a1.nbr = a2.nbr AND a1.node < a2.node
+  GROUP BY 1, 2
+)
+SELECT u, v, n_common, d1.deg AS deg_u, d2.deg AS deg_v,
+       CAST(n_common AS DOUBLE) / (d1.deg + d2.deg - n_common) AS jaccard
+FROM pairs JOIN deg d1 ON d1.node = u JOIN deg d2 ON d2.node = v
+ORDER BY n_common DESC, u, v LIMIT 100
+"""
+
+
+def entity_common_neighbors_sql() -> str:
+    from .textops import KG_FLAGSHIP_EDGES_SQL
+
+    return ENTITY_COMMON_NEIGHBORS_SQL_TEMPLATE.format(edges_sql=KG_FLAGSHIP_EDGES_SQL)

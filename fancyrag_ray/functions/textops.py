@@ -280,6 +280,92 @@ GROUP BY a.term, b.term
 """
 
 
+def cooccurrence_pmi(sf_dir: str) -> rd.Dataset:
+    """PMI-weighted co-occurrence edges — ``cooccurrence_edges`` plus the
+    association strength a relation-extraction pass ranks by.
+
+    ``pmi_ratio = (n_ab · N) / (n_a · n_b)`` is the *argument* of PMI's
+    log (x → ln monotone ⇒ identical ranking) so every arithmetic step
+    is IEEE-exact: the counts are integers below 2⁵³, the one multiply
+    and one divide are correctly rounded, and the emitted doubles are
+    bit-identical to the SQL mirror — the same ln-avoidance trick as
+    ``tfidf_top_terms``.
+
+    Shape: pair counts exactly as ``cooccurrence_edges`` (block-local
+    Acero self-join partials → groupby sum); term marginals are an
+    O(vocab) aggregate, ``ray.put`` once and mapped onto the pair table
+    (vocab is bounded by the extractor's dictionary — never a shuffle)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    extractor = TermMentionExtractor()
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def pairs(t: pa.Table) -> pa.Table:
+        m = extractor(t).select(["doc_id", "term"])
+        j = m.join(m, keys=["doc_id"], join_type="inner", right_suffix="_b")
+        j = j.filter(pc.less(j.column("term"), j.column("term_b")))
+        g = j.group_by(["term", "term_b"]).aggregate([([], "count_all")])
+        return g.rename_columns(["term_a", "term_b", "n_ab"])
+
+    def marginals(t: pa.Table) -> pa.Table:
+        m = extractor(t).select(["term"])
+        g = m.group_by(["term"]).aggregate([([], "count_all")])
+        return g.rename_columns(["term", "c"])
+
+    pair_counts = (
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=None)
+        .groupby(["term_a", "term_b"])
+        .aggregate(Sum("n_ab", alias_name="n_ab"))
+    )
+    marg_tbl = pa.concat_tables(
+        list(
+            ds.map_batches(marginals, batch_format="pyarrow", batch_size=None)
+            .groupby("term")
+            .aggregate(Sum("c", alias_name="c"))
+            .iter_batches(batch_format="pyarrow")
+        )
+    )
+    import ray
+
+    marg_ref = ray.put(marg_tbl)
+
+    def attach(t: pa.Table) -> pa.Table:
+        marg = ray.get(marg_ref)
+        terms = marg.column("term").combine_chunks()
+        cvec = marg.column("c").to_numpy(zero_copy_only=False)
+        ia = pc.index_in(t.column("term_a"), value_set=terms).to_numpy(zero_copy_only=False)
+        ib = pc.index_in(t.column("term_b"), value_set=terms).to_numpy(zero_copy_only=False)
+        n_a, n_b = cvec[ia], cvec[ib]
+        n_ab = t.column("n_ab").to_numpy(zero_copy_only=False)
+        ratio = (n_ab.astype(np.float64) * float(n_docs)) / (n_a.astype(np.float64) * n_b)
+        return pa.table(
+            {
+                "term_a": t.column("term_a"),
+                "term_b": t.column("term_b"),
+                "n_ab": t.column("n_ab").cast(pa.int64()),
+                "n_a": pa.array(n_a, pa.int64()),
+                "n_b": pa.array(n_b, pa.int64()),
+                "pmi_ratio": pa.array(ratio, pa.float64()),
+            }
+        )
+
+    return pair_counts.map_batches(attach, batch_format="pyarrow")
+
+
+COOCCURRENCE_PMI_SQL = f"""
+WITH mentions AS ({_mentions_sql()}),
+n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents),
+marg AS (SELECT term, COUNT(*)::BIGINT AS c FROM mentions GROUP BY term),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, COUNT(*)::BIGINT AS n_ab
+  FROM mentions a JOIN mentions b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2
+)
+SELECT term_a, term_b, n_ab, ma.c AS n_a, mb.c AS n_b,
+       (CAST(n_ab AS DOUBLE) * n.n_docs) / (CAST(ma.c AS DOUBLE) * mb.c) AS pmi_ratio
+FROM pairs JOIN marg ma ON ma.term = term_a JOIN marg mb ON mb.term = term_b, n
+"""
+
+
 def _flagship_edges_sql() -> str:
     """SQL mirror of the FULL flagship pipeline on driver documents with
     the ``text-exact`` profile: chunk (600/100 exact split, the
