@@ -1,0 +1,191 @@
+"""Skew-adaptive windowed-relational dispatch (autoshard.py): the probe
+statistic, the plan decision at both threshold sides, and result
+equality no matter which plan runs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from fancyrag_ray.functions.autoshard import (
+    asof_join_auto,
+    choose_windowed_path,
+    keyed_running_total_auto,
+    max_key_rows,
+    range_join_auto,
+    rolling_window_aggregate_auto,
+)
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(df.columns)
+    return df[cols].sort_values(cols).reset_index(drop=True)
+
+
+def _events(counts: dict[int, int]) -> rd.Dataset:
+    """counts: user_id → number of rows, timestamps spread over a day."""
+    users, ts = [], []
+    for u, n in counts.items():
+        users.extend([u] * n)
+        ts.extend(np.linspace(0, 86_400_000_000 - 1, n).astype(np.int64) + u)
+    base = pd.Timestamp("2024-01-01").value // 1000
+    return rd.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(users)), pa.int64()),
+                "user_id": pa.array(users, pa.int64()),
+                "ts": pa.array(np.array(ts) + base, pa.timestamp("us")),
+                "value": pa.array(np.arange(len(users), dtype=np.float64) / 100.0),
+            }
+        )
+    )
+
+
+class TestProbe:
+    def test_max_key_rows(self, ray_session):
+        ds = _events({1: 7, 2: 3, 3: 11})
+        assert max_key_rows(ds, "user_id") == 11
+
+    def test_empty(self, ray_session):
+        ds = _events({1: 1}).filter(lambda r: False)
+        assert max_key_rows(ds, "user_id") == 0
+
+    def test_choice(self):
+        assert choose_windowed_path(10, threshold=100) == "unsharded"
+        assert choose_windowed_path(101, threshold=100) == "sharded"
+        assert choose_windowed_path(100, threshold=100) == "unsharded"  # ≤ stays
+
+
+class TestDispatch:
+    """The decision actually routes to the right implementation (spied
+    via monkeypatch on the module-level names the dispatchers call)."""
+
+    def _spy(self, monkeypatch, module, name):
+        import importlib
+
+        mod = importlib.import_module(f"fancyrag_ray.functions.{module}")
+        real = getattr(mod, name)
+        calls = []
+
+        def wrapper(*a, **k):
+            calls.append(name)
+            return real(*a, **k)
+
+        monkeypatch.setattr(mod, name, wrapper)
+        return calls
+
+    def test_rolling_dispatch_both_sides(self, ray_session, monkeypatch):
+        sharded = self._spy(monkeypatch, "timeshard", "rolling_window_aggregate_timesharded")
+        unsharded = self._spy(monkeypatch, "relational", "rolling_window_aggregate")
+        ds = _events({1: 50, 2: 5})
+
+        def run(threshold):
+            return rolling_window_aggregate_auto(
+                ds, on="ts", by="user_id", value_col="value",
+                window_seconds=3600, hot_key_threshold=threshold,
+            ).to_pandas()
+
+        run(10)  # densest key 50 > 10 → sharded
+        assert sharded == ["rolling_window_aggregate_timesharded"] and unsharded == []
+        run(1000)  # 50 ≤ 1000 → unsharded
+        assert unsharded == ["rolling_window_aggregate"]
+
+    def test_running_total_dispatch(self, ray_session, monkeypatch):
+        sharded = self._spy(monkeypatch, "timeshard", "keyed_running_total_timesharded")
+        ds = _events({1: 50})
+        keyed_running_total_auto(
+            ds, by="user_id", order=["ts", "event_id"], value_col="value",
+            hot_key_threshold=10,
+        ).to_pandas()
+        assert sharded == ["keyed_running_total_timesharded"]
+
+
+class TestResultEquality:
+    """Both plans produce identical rows on the same input — forcing the
+    threshold to each side must not change the answer."""
+
+    def test_asof(self, ray_session):
+        left = _events({1: 40, 2: 8})
+        right = _events({1: 6, 2: 4}).map_batches(
+            lambda t: pa.table(
+                {
+                    "r_user": t.column("user_id"),
+                    "r_ts": t.column("ts"),
+                    "payload": t.column("event_id"),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+        def run(threshold):
+            return asof_join_auto(
+                left, right, on="ts", by="user_id", right_on="r_ts",
+                right_by="r_user", shard_seconds=3600, num_partitions=2,
+                hot_key_threshold=threshold,
+            ).to_pandas()
+
+        assert _norm(run(1)).astype(str).equals(_norm(run(10**9)).astype(str))
+
+    def test_range(self, ray_session):
+        left = _events({1: 30, 2: 10})
+        intervals = rd.from_arrow(
+            pa.table(
+                {
+                    "i_user": pa.array([1, 1, 2], pa.int64()),
+                    "t_lo": pa.array(
+                        [pd.Timestamp("2024-01-01").value // 1000,
+                         pd.Timestamp("2024-01-01 06:00").value // 1000,
+                         pd.Timestamp("2024-01-01").value // 1000],
+                        pa.timestamp("us"),
+                    ),
+                    "t_hi": pa.array(
+                        [pd.Timestamp("2024-01-01 08:00").value // 1000,
+                         pd.Timestamp("2024-01-01 23:00").value // 1000,
+                         pd.Timestamp("2024-01-02").value // 1000],
+                        pa.timestamp("us"),
+                    ),
+                    "tag": pa.array([10, 20, 30], pa.int64()),
+                }
+            )
+        )
+
+        def run(threshold):
+            return range_join_auto(
+                left, intervals, on="ts", by="user_id", lower="t_lo",
+                upper="t_hi", right_by="i_user", shard_seconds=3600,
+                num_partitions=2, hot_key_threshold=threshold,
+            ).to_pandas()
+
+        lo, hi = run(1), run(10**9)
+        assert len(lo) > 0
+        assert _norm(lo).astype(str).equals(_norm(hi).astype(str))
+
+    def test_rolling_and_running(self, ray_session):
+        base = _events({1: 25, 2: 12})
+        # rolling sums an INTEGER cents column (both plans' contract);
+        # running_total converts floats to cents itself
+        cents = base.map_batches(
+            lambda t: t.drop_columns(["value"]).append_column(
+                "value_cents", t.column("event_id")
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+        def run_roll(threshold):
+            return rolling_window_aggregate_auto(
+                cents, on="ts", by="user_id", value_col="value_cents",
+                window_seconds=7200, hot_key_threshold=threshold,
+            ).to_pandas()
+
+        assert _norm(run_roll(1)).astype(str).equals(_norm(run_roll(10**9)).astype(str))
+
+        def run_rt(threshold):
+            return keyed_running_total_auto(
+                base, by="user_id", order=["ts", "event_id"], value_col="value",
+                hot_key_threshold=threshold,
+            ).to_pandas()
+
+        assert _norm(run_rt(1)).astype(str).equals(_norm(run_rt(10**9)).astype(str))
