@@ -386,6 +386,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_attribution": R.events_session_attribution,
         # hot-key-safe time-sharded variants — same semantics, same SQL
         # oracles, no one-key-one-block assumption (timeshard.py)
+        "events_value_delta": R.events_value_delta,
+        "events_percent_rank": R.events_percent_rank,
         "events_last_order_sharded": TS.events_last_order_sharded,
         "events_rolling_hour_sharded": TS.events_rolling_hour_sharded,
         "events_session_attribution_sharded": TS.events_session_attribution_sharded,
@@ -485,6 +487,10 @@ def oracle_sql() -> dict[str, str]:
         "events_rolling_hour": R.EVENTS_ROLLING_HOUR_SQL,
         # interval-containment range join vs SQL BETWEEN join
         "events_session_attribution": R.EVENTS_SESSION_ATTRIBUTION_SQL,
+        # LAG delta (one exact double subtraction) and PERCENT_RANK
+        # (unique-order rank, one exact division) — bit-exact mirrors
+        "events_value_delta": R.EVENTS_VALUE_DELTA_SQL,
+        "events_percent_rank": R.EVENTS_PERCENT_RANK_SQL,
         # the time-sharded variants are semantically identical, so they
         # share the unsharded operators' oracles verbatim
         "events_last_order_sharded": R.EVENTS_LAST_ORDER_SQL,

@@ -329,6 +329,20 @@ def main() -> None:
                 __import__("fancyrag_ray.functions.clustering", fromlist=["c"]).embedding_kmeans
             ),
             "knn_cosine_pq": timed(S.knn_cosine_pq),
+            # round-4 corpus lexical stats + PMI + link prediction
+            "top_bigrams": timed(
+                __import__("fancyrag_ray.functions.corpus", fromlist=["c"]).top_bigrams
+            ),
+            "common_word_fraction": timed(
+                __import__("fancyrag_ray.functions.corpus", fromlist=["c"]).common_word_fraction
+            ),
+            "fulltext_bm25": timed(
+                __import__("fancyrag_ray.functions.corpus", fromlist=["c"]).fulltext_bm25
+            ),
+            "cooccurrence_pmi": timed(T.cooccurrence_pmi),
+            "entity_common_neighbors": timed(
+                __import__("fancyrag_ray.functions.graph", fromlist=["g"]).entity_common_neighbors
+            ),
         }
 
     print(json.dumps({

@@ -1048,3 +1048,96 @@ WITH r AS (
 SELECT e.event_id, e.user_id, e.ts, r.o_orderkey, r.o_orderdate
 FROM events e ASOF JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
 """
+
+
+def events_value_delta(sf_dir: str) -> rd.Dataset:
+    """Per-user LAG delta: each event's value minus the previous event's
+    value in (ts, event_id) order — the change-detection window Ray Data
+    lacks (``LAG() OVER (PARTITION BY … ORDER BY …)``). One hash
+    co-partition on the key, then a per-block vectorized sort + grouped
+    shift; the delta is ONE double subtraction over the exact input
+    values (no accumulation), so the doubles are bit-identical to the
+    SQL mirror. First event per user carries NULL prev/delta.
+
+    Partitioning assumption: one user's events fit one block (the
+    windowed-family contract — a hot key takes the ``autoshard``
+    probe-and-shard route)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "ts": pa.array([], pa.timestamp("us")),
+                    "value": pa.array([], pa.float64()),
+                    "prev_value": pa.array([], pa.float64()),
+                    "delta": pa.array([], pa.float64()),
+                }
+            )
+        df = t.to_pandas().sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = df.groupby("user_id", sort=False)["value"].shift(1)
+        df["prev_value"] = prev
+        df["delta"] = df["value"] - prev
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from ..util import hash_partitioned_combine as _hpc
+
+    n = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    return _hpc(ds, ["user_id"], block, adaptive_partitions(16, n_rows=n))
+
+
+EVENTS_VALUE_DELTA_SQL = """
+SELECT event_id, user_id, ts, value,
+       LAG(value) OVER w AS prev_value,
+       value - LAG(value) OVER w AS delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def events_percent_rank(sf_dir: str) -> rd.Dataset:
+    """Per-user PERCENT_RANK of event value — ``(rank − 1) / (n − 1)``
+    under the unique (value, event_id) order, 0.0 for single-row
+    partitions (SQL's convention). The ordering key is made unique by
+    the event_id tiebreak so rank = row number on both sides; the one
+    integer-to-double division is correctly rounded ⇒ bit-exact mirror.
+
+    Same one-key-one-block contract (and autoshard escape hatch) as the
+    rest of the windowed family."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "value": pa.array([], pa.float64()),
+                    "pr": pa.array([], pa.float64()),
+                }
+            )
+        df = t.to_pandas().sort_values(["user_id", "value", "event_id"], kind="mergesort")
+        g = df.groupby("user_id", sort=False)
+        rn = g.cumcount().to_numpy()
+        n = g["event_id"].transform("size").to_numpy()
+        pr = np.where(n > 1, rn / np.maximum(n - 1, 1), 0.0)
+        df["pr"] = pr
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from ..util import hash_partitioned_combine as _hpc
+
+    n = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    return _hpc(ds, ["user_id"], block, adaptive_partitions(16, n_rows=n))
+
+
+EVENTS_PERCENT_RANK_SQL = """
+SELECT event_id, user_id, value,
+       PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY value, event_id) AS pr
+FROM events
+"""
