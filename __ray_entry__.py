@@ -112,7 +112,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         withsum = docs.map_batches(add_md5, batch_format="pyarrow").materialize()
         even = withsum.map_batches(lambda t: half(t, 0), batch_format="pyarrow")
         odd = withsum.map_batches(lambda t: half(t, 1), batch_format="pyarrow")
-        store_dir = f"/tmp/fancyrag_incdedup_{zlib.crc32(sf_dir.encode()):08x}"
+        # pid-scoped so a concurrent pytest/driver pair can't race on
+        # the same store (observed: rmtree under a concurrent reader)
+        store_dir = f"/tmp/fancyrag_incdedup_{zlib.crc32(sf_dir.encode()):08x}_{os.getpid()}"
         shutil.rmtree(store_dir, ignore_errors=True)
         dedup_against_store(
             even.select_columns(["doc_id", "checksum"]), store_dir,
@@ -441,11 +443,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_ngram_jaccard": near_dup_ngram_jaccard,
         "decontaminate_documents": decontaminate_documents,
         "dedup_incremental_documents": dedup_incremental_documents,
-        # ---- block 2: oracled shared-SQL / shared-mechanism variants
+        # ---- block 2: newest oracled additions beyond the 50-slot
+        # budget (each still has a pytest parity row via test_oracle.py),
+        # then oracled shared-SQL / shared-mechanism variants
         # (hot-key-safe time-sharded windowed family — same semantics,
         # same SQL verbatim as their unsharded siblings; int8 ANN equal
         # by construction to knn_cosine; per-doc token counts and the
         # md5-threshold sampler, whose machinery block 1 already checks)
+        "events_ntile": R.events_ntile,
+        "events_hopping_counts": R.events_hopping_counts,
         "events_sessions_sharded": R.events_sessions_sharded,
         "events_last_order_sharded": TS.events_last_order_sharded,
         "events_rolling_hour_sharded": TS.events_rolling_hour_sharded,
@@ -506,6 +512,11 @@ def oracle_sql() -> dict[str, str]:
         # (unique-order rank, one exact division) — bit-exact mirrors
         "events_value_delta": R.EVENTS_VALUE_DELTA_SQL,
         "events_percent_rank": R.EVENTS_PERCENT_RANK_SQL,
+        # NTILE equal-height bucketing (all-integer tile rule) and the
+        # hopping-window streaming aggregate (4-way integer window
+        # expansion vs the UNNEST-offset mirror)
+        "events_ntile": R.EVENTS_NTILE_SQL,
+        "events_hopping_counts": R.EVENTS_HOPPING_COUNTS_SQL,
         # the time-sharded variants are semantically identical, so they
         # share the unsharded operators' oracles verbatim
         "events_last_order_sharded": R.EVENTS_LAST_ORDER_SQL,

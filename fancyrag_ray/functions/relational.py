@@ -1141,3 +1141,115 @@ SELECT event_id, user_id, value,
        PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY value, event_id) AS pr
 FROM events
 """
+
+
+def events_ntile(sf_dir: str, k: int = 4) -> rd.Dataset:
+    """Per-user NTILE(k) bucket of event value — the equal-height
+    bucketing window (``NTILE(k) OVER (PARTITION BY … ORDER BY …)``).
+    SQL's tile rule, reproduced exactly: with n rows and 0-based row
+    number rn, the first ``n % k`` tiles hold ``n//k + 1`` rows and the
+    rest ``n//k`` — all-integer arithmetic, so the mirror is hash-exact.
+    One hash co-partition on the key, then a per-block vectorized sort +
+    grouped cumcount (same plan shape as ``events_percent_rank``).
+
+    Same one-key-one-block contract (and autoshard escape hatch) as the
+    rest of the windowed family."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "value": pa.array([], pa.float64()),
+                    "tile": pa.array([], pa.int64()),
+                }
+            )
+        df = t.to_pandas().sort_values(["user_id", "value", "event_id"], kind="mergesort")
+        g = df.groupby("user_id", sort=False)
+        rn = g.cumcount().to_numpy()
+        n = g["event_id"].transform("size").to_numpy()
+        q, r = n // k, n % k
+        # rows rn < r*(q+1) land in the wide tiles; the rest in the
+        # narrow ones (q == 0 ⇒ r == n and the first branch always wins)
+        wide = rn < r * (q + 1)
+        tile = np.where(wide, rn // np.maximum(q + 1, 1), r + (rn - r * (q + 1)) // np.maximum(q, 1)) + 1
+        df["tile"] = tile.astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from ..util import hash_partitioned_combine as _hpc
+
+    n = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    return _hpc(ds, ["user_id"], block, adaptive_partitions(16, n_rows=n))
+
+
+EVENTS_NTILE_SQL = """
+SELECT event_id, user_id, value,
+       NTILE(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS tile
+FROM events
+"""
+
+
+def events_hopping_counts(sf_dir: str) -> rd.Dataset:
+    """Hopping-window aggregate (60-min window sliding by a 15-min hop):
+    per (window_start, event_type) event count, where each event belongs
+    to the 4 overlapping windows covering its timestamp — the streaming
+    windowed aggregate Ray Data has no operator for. Per-block plan:
+    integer hop bucket ``epoch_us // hop_us``, vectorized 4-way repeat to
+    (bucket − j) for j in 0..3, one Arrow group_by partial per block —
+    so only (window, type) partials cross the shuffle, never events. The
+    window_start timestamp is rebuilt from the integer window id
+    (``id · hop_us`` cast to timestamp[us]), all-integer ⇒ hash-exact
+    mirror. Windows are keyed by their start; events earlier than a
+    window's start simply don't contribute (no partial-window padding),
+    matching the UNNEST-offset SQL mirror row-for-row."""
+    HOP_US = 15 * 60 * 1_000_000
+    N_HOPS = 4  # window = 4 hops = 60 min
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "window_start": pa.array([], pa.timestamp("us")),
+                    "event_type": pa.array([], pa.string()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        epoch = t.column("ts").cast(pa.int64()).to_numpy()
+        bucket = epoch // HOP_US
+        win = (bucket[:, None] - np.arange(N_HOPS)[None, :]).ravel()
+        etype = t.column("event_type").to_numpy(zero_copy_only=False).repeat(N_HOPS)
+        part = pa.table({"win": pa.array(win, pa.int64()), "event_type": pa.array(etype, pa.string())})
+        g = part.group_by(["win", "event_type"]).aggregate([([], "count_all")])
+        starts = pc.multiply(g.column("win"), pa.scalar(HOP_US, pa.int64())).cast(pa.timestamp("us"))
+        return pa.table(
+            {
+                "window_start": starts,
+                "event_type": g.column("event_type"),
+                "n_events": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    def restore_unit(t: pa.Table) -> pa.Table:
+        # Ray's sort-based aggregate narrows second-aligned timestamps
+        # to timestamp[s]; restore the table contract's [us]
+        i = t.schema.get_field_index("window_start")
+        return t.set_column(i, "window_start", t.column("window_start").cast(pa.timestamp("us")))
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["window_start", "event_type"])
+        .aggregate(Sum("n_events", alias_name="n_events"))
+        .map_batches(restore_unit, batch_format="pyarrow", batch_size=None)
+    )
+
+
+EVENTS_HOPPING_COUNTS_SQL = """
+SELECT make_timestamp(((epoch_us(ts) // 900000000) - j) * 900000000) AS window_start,
+       event_type,
+       count(*) AS n_events
+FROM events, unnest([0, 1, 2, 3]) AS t(j)
+GROUP BY 1, 2
+"""
