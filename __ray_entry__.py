@@ -42,6 +42,8 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from fancyrag_ray.functions import analytics as A
     from fancyrag_ray.functions import corpus as C
+    from fancyrag_ray.functions import dedup as D
+    from fancyrag_ray.functions import quality as Q
     from fancyrag_ray.functions import relational as R
     from fancyrag_ray.functions import similarity as S
     from fancyrag_ray.functions import textops as T
@@ -452,6 +454,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # md5-threshold sampler, whose machinery block 1 already checks)
         "events_ntile": R.events_ntile,
         "events_hopping_counts": R.events_hopping_counts,
+        "redact_pii_documents": Q.redact_pii_documents,
+        "dedup_paragraphs": D.dedup_paragraphs,
         "events_sessions_sharded": R.events_sessions_sharded,
         "events_last_order_sharded": TS.events_last_order_sharded,
         "events_rolling_hour_sharded": TS.events_rolling_hour_sharded,
@@ -517,6 +521,12 @@ def oracle_sql() -> dict[str, str]:
         # expansion vs the UNNEST-offset mirror)
         "events_ntile": R.EVENTS_NTILE_SQL,
         "events_hopping_counts": R.EVENTS_HOPPING_COUNTS_SQL,
+        # PII scrub: shared RE2 pattern list, counts taken on the text
+        # state each replace sees — string/integer outputs, hash-exact
+        "redact_pii_documents": Q.REDACT_PII_SQL,
+        # Dolma-style corpus-wide paragraph dedup (count>1 paragraphs
+        # removed everywhere; ordered per-doc rebuild) — hash-exact
+        "dedup_paragraphs": D.DEDUP_PARAGRAPHS_SQL,
         # the time-sharded variants are semantically identical, so they
         # share the unsharded operators' oracles verbatim
         "events_last_order_sharded": R.EVENTS_LAST_ORDER_SQL,

@@ -914,3 +914,221 @@ GROUP BY s.doc_id
 
 
 DECONTAMINATE_SQL = _decontaminate_sql()
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level exact dedup (Dolma-style)
+# ---------------------------------------------------------------------------
+def dedup_paragraphs(sf_dir: str, broadcast_budget_bytes: int = BROADCAST_BUDGET_BYTES) -> rd.Dataset:
+    """Corpus-wide exact paragraph dedup: a paragraph (non-empty
+    newline-delimited line) occurring more than once ANYWHERE in the
+    corpus is removed from every document — the Dolma/CCNet boilerplate
+    scrub (nav bars, cookie banners, licence footers repeat across
+    pages; dropping every occurrence of a repeated paragraph is the
+    standard rule). Emits per doc: paragraph total, duplicated-instance
+    count, and the cleaned text (survivors joined by newline, original
+    order).
+
+    Plan (two passes, docs never shuffled in the common tier):
+      1. per-block Arrow group_by partials of paragraph counts →
+         ``hash_partitioned_combine`` sum → the count>1 set. Duplicate-
+         heavy blocks collapse before the shuffle, so each block ships
+         at most its DISTINCT paragraphs. (At 10^12 docs the shuffle key
+         would be a 128-bit fingerprint, not the string — documented
+         trade: strings keep the SQL mirror exact.)
+      2. tiered mark+rebuild:
+         * dup set within ``fits_broadcast`` → ``ray.put`` once, one
+           vectorized ``pc.index_in`` probe per block, and the rebuild
+           is block-local (docs arrive whole from the read, so
+           paragraph order never crosses a boundary);
+         * above budget → explode to (doc_id, pos, para) rows UNIONed
+           with inner-join dup marks, one hash co-partition by doc_id,
+           per-block rebuild (the full-text shuffle is the price of a
+           boilerplate set too big to broadcast).
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _explode(t: pa.Table):
+        """(doc_ids, pos, paras) numpy/arrow views of the non-empty
+        paragraphs of each doc, order-preserving, fully vectorized."""
+        text = pc.coalesce(t.column("text"), pa.scalar("", pa.string()))
+        ls = pc.split_pattern(text, "\n")
+        lens = pc.list_value_length(ls).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(ls).combine_chunks()
+        ids = np.repeat(t.column("doc_id").to_numpy(zero_copy_only=False), lens)
+        keep = pc.not_equal(flat, pa.scalar("")).to_numpy(zero_copy_only=False)
+        ids, flat = ids[keep], flat.filter(pa.array(keep))
+        # 1-based position among the kept paragraphs of each doc:
+        # contiguous-by-construction segments ⇒ arange minus seg starts
+        n = len(ids)
+        if n:
+            starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+            seg = np.repeat(starts, np.diff(np.r_[starts, n]))
+            pos = np.arange(n, dtype=np.int64) - seg + 1
+        else:
+            pos = np.zeros(0, np.int64)
+        return ids, pos, flat
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        _, _, paras = _explode(t)
+        pt = pa.table({"para": paras, "ones": pa.array(np.ones(len(paras), np.int64))})
+        out = pt.group_by(["para"]).aggregate([("ones", "sum")])
+        return out.rename_columns(["para", "c"])
+
+    def count_combine(t: pa.Table) -> pa.Table:
+        out = t.group_by(["para"]).aggregate([("c", "sum")])
+        return out.rename_columns(["para", "c"])
+
+    n_rows = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    parts = adaptive_partitions(16, n_rows=n_rows)
+    counts = hash_partitioned_combine(
+        docs.map_batches(count_partial, batch_format="pyarrow", batch_size=None),
+        ["para"], count_combine, parts,
+    )
+    dups = (
+        counts.map_batches(
+            lambda t: t.filter(pc.greater(t.column("c"), pa.scalar(1, pa.int64()))),
+            batch_format="pyarrow", batch_size=None,
+        )
+        .select_columns(["para"])
+        .materialize()
+    )
+    n_dups = dups.count()
+
+    def _rebuild(ids: np.ndarray, pos: np.ndarray, paras: pa.Array, is_dup: np.ndarray,
+                 all_ids: pa.Array) -> pa.Table:
+        """Per-doc aggregates + cleaned text from exploded rows (ids must
+        be grouped contiguously; pos gives the original order)."""
+        df = pd.DataFrame({
+            "doc_id": ids, "pos": pos,
+            "para": paras.to_pandas().to_numpy(dtype=object, copy=False),
+            "dup": is_dup,
+        })
+        df.sort_values(["doc_id", "pos"], inplace=True, kind="mergesort")
+        g = df.groupby("doc_id", sort=False)
+        agg = g.agg(
+            n_paragraphs=("pos", "size"),
+            n_dup_paragraphs=("dup", "sum"),
+        )
+        kept = df[~df["dup"]].groupby("doc_id", sort=False)["para"].agg("\n".join)
+        agg["text_clean"] = kept.reindex(agg.index, fill_value="")
+        out = agg.reindex(all_ids.to_numpy(zero_copy_only=False), fill_value=0)
+        out.index.name = "doc_id"
+        out = out.reset_index()
+        out["text_clean"] = out["text_clean"].replace(0, "")  # docs with zero paragraphs
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+            "n_paragraphs": pa.array(out["n_paragraphs"].to_numpy(dtype=np.int64), pa.int64()),
+            "n_dup_paragraphs": pa.array(out["n_dup_paragraphs"].to_numpy(dtype=np.int64), pa.int64()),
+            "text_clean": pa.array(out["text_clean"].astype(str).to_numpy(dtype=object), pa.string()),
+        })
+
+    if fits_broadcast(n_dups, dataset_mean_row_bytes(dups, n_dups), broadcast_budget_bytes):
+        import ray as _ray
+
+        batches = list(dups.iter_batches(batch_format="pyarrow"))
+        dup_arr = (
+            pa.concat_tables(batches).column("para").combine_chunks()
+            if batches else pa.array([], pa.string())
+        )
+        dup_ref = _ray.put(dup_arr)
+
+        def clean_block(t: pa.Table) -> pa.Table:
+            dup_set = _ray.get(dup_ref)
+            ids, pos, paras = _explode(t)
+            is_dup = pc.is_valid(pc.index_in(paras, value_set=dup_set)).to_numpy(zero_copy_only=False)
+            return _rebuild(ids, pos, paras, is_dup, t.column("doc_id").combine_chunks())
+
+        return docs.map_batches(clean_block, batch_format="pyarrow", batch_size=None)
+
+    # join tier: exploded rows ∪ dup marks, co-partitioned by doc_id
+    def explode_block(t: pa.Table) -> pa.Table:
+        ids, pos, paras = _explode(t)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()), "pos": pa.array(pos, pa.int64()),
+            "para": paras, "mark": pa.array(np.zeros(len(ids), np.int64)),
+        })
+
+    exploded = docs.map_batches(explode_block, batch_format="pyarrow", batch_size=None).materialize()
+    n_paras = exploded.count()
+    jparts = adaptive_partitions(16, n_rows=n_paras)
+    marks = (
+        exploded.select_columns(["doc_id", "pos", "para"])
+        .join(dups, join_type="inner", num_partitions=jparts, on=("para",))
+        .map_batches(
+            lambda t: pa.table({
+                "doc_id": t.column("doc_id"), "pos": t.column("pos"),
+                "para": pa.array([""] * t.num_rows, pa.string()),
+                "mark": pa.array(np.ones(t.num_rows, np.int64)),
+            }),
+            batch_format="pyarrow", batch_size=None,
+        )
+    )
+    both = exploded.union(marks)
+
+    def rebuild_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()), "n_paragraphs": pa.array([], pa.int64()),
+                "n_dup_paragraphs": pa.array([], pa.int64()), "text_clean": pa.array([], pa.string()),
+            })
+        df = t.to_pandas()
+        mk = df.loc[df["mark"] == 1, ["doc_id", "pos"]].assign(_d=1)
+        rows = df[df["mark"] == 0].merge(mk, on=["doc_id", "pos"], how="left")
+        is_dup = rows["_d"].notna().to_numpy()
+        ids = rows["doc_id"].to_numpy()
+        return _rebuild(
+            ids, rows["pos"].to_numpy(), pa.array(rows["para"], pa.string()), is_dup,
+            pa.array(pd.unique(ids), pa.int64()),
+        )
+
+    cleaned = hash_partitioned_combine(both, ["doc_id"], rebuild_block, jparts)
+
+    # docs whose text had no paragraphs at all never exploded — restore
+    # them with zero counts so the output is one row per input doc. A
+    # doc has no paragraphs iff its text minus newlines is empty.
+    def empty_docs(t: pa.Table) -> pa.Table:
+        text = pc.coalesce(t.column("text"), pa.scalar("", pa.string()))
+        no_nl = pc.replace_substring(text, "\n", "")
+        keep = pc.equal(no_nl, pa.scalar(""))
+        ids = t.column("doc_id").filter(keep)
+        z = pa.array(np.zeros(len(ids), np.int64))
+        return pa.table({
+            "doc_id": ids, "n_paragraphs": z, "n_dup_paragraphs": z,
+            "text_clean": pa.array([""] * len(ids), pa.string()),
+        })
+
+    return cleaned.union(docs.map_batches(empty_docs, batch_format="pyarrow", batch_size=None))
+
+
+DEDUP_PARAGRAPHS_SQL = """
+WITH base AS (
+  SELECT doc_id, COALESCE(text, '') AS text FROM documents
+),
+l AS (
+  SELECT doc_id, list_filter(string_split(text, chr(10)), x -> x <> '') AS ls FROM base
+),
+p AS (
+  SELECT doc_id, ls[i] AS para, i
+  FROM l, UNNEST(generate_series(1, len(ls))) AS t(i)
+),
+c AS (
+  SELECT para, COUNT(*)::BIGINT AS c FROM p GROUP BY para
+),
+m AS (
+  SELECT p.doc_id,
+         COUNT(*)::BIGINT AS n_paragraphs,
+         SUM(CASE WHEN c.c > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_paragraphs,
+         COALESCE(string_agg(CASE WHEN c.c = 1 THEN p.para END, chr(10) ORDER BY p.i), '') AS text_clean
+  FROM p JOIN c USING (para)
+  GROUP BY p.doc_id
+)
+SELECT b.doc_id,
+       COALESCE(m.n_paragraphs, 0) AS n_paragraphs,
+       COALESCE(m.n_dup_paragraphs, 0) AS n_dup_paragraphs,
+       COALESCE(m.text_clean, '') AS text_clean
+FROM base b LEFT JOIN m USING (doc_id)
+"""

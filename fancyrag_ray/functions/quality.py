@@ -397,3 +397,60 @@ FROM base b
 LEFT JOIN lm ON b.doc_id = lm.doc_id
 LEFT JOIN bm ON b.doc_id = bm.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data scrubbing)
+# ---------------------------------------------------------------------------
+# One pattern list shared verbatim by the Ray kernels and the SQL mirror:
+# both pyarrow.compute and DuckDB run RE2, so match sets (and therefore
+# counts and replacement output) are engine-identical. Patterns are
+# applied IN ORDER, each count taken on the text state its replace sees,
+# so a category can never double-count a span an earlier one redacted.
+# Order matters: SSN before PHONE (both are digit runs), EMAIL first
+# (may contain digit runs a later pattern would chew on).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("n_emails", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("n_ssns", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "[SSN]"),
+    ("n_ipv4s", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "[IP]"),
+    ("n_phones", r"(?:\+?[0-9]{1,3}[-. ]?)?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}\b", "[PHONE]"),
+]
+
+
+def redact_pii_documents(sf_dir: str) -> rd.Dataset:
+    """Scrub emails / SSNs / IPv4s / phone numbers from document text,
+    emitting the redacted text plus per-category match counts — the
+    pre-training PII scrubbing pass (cf. reference M10, the dict-level
+    secret scrubber in ``functions/sanitize.py``; this is its corpus-
+    scale columnar sibling). Single streaming ``map_batches`` of pure
+    RE2 kernels (``count_substring_regex`` + ``replace_substring_regex``)
+    — no shuffle, no Python loop, embarrassingly parallel at any scale.
+    Hash-exact vs the nested ``regexp_replace(…, 'g')`` DuckDB mirror."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def block(t: pa.Table) -> pa.Table:
+        text = pc.coalesce(t.column("text"), pa.scalar("", pa.string()))
+        cols: dict = {"doc_id": t.column("doc_id")}
+        for name, pat, repl in PII_PATTERNS:
+            cols[name] = pc.count_substring_regex(text, pat).cast(pa.int64())
+            text = pc.replace_substring_regex(text, pat, repl)
+        cols["text_clean"] = text
+        return pa.table(cols)
+
+    return ds.map_batches(block, batch_format="pyarrow", batch_size=None)
+
+
+def _redact_pii_sql() -> str:
+    expr = "COALESCE(text, '')"
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        # DuckDB single-quoted strings are raw (no backslash escapes):
+        # pass the RE2 pattern verbatim, escaping only the quote char
+        p = pat.replace("'", "''")
+        counts.append(f"len(regexp_extract_all({expr}, '{p}'))::BIGINT AS {name}")
+        expr = f"regexp_replace({expr}, '{p}', '{repl}', 'g')"
+    cols = ",\n       ".join(counts)
+    return f"SELECT doc_id,\n       {cols},\n       {expr} AS text_clean\nFROM documents"
+
+
+REDACT_PII_SQL = _redact_pii_sql()

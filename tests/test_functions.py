@@ -119,6 +119,40 @@ class TestQualityFns:
         assert out.loc[1, "n_tokens_bpe"] == 12
         assert out.loc[2, "n_tokens_ws"] == 0 and out.loc[2, "n_tokens_bpe"] == 0
 
+    def test_redact_pii_planted(self, ray_session, tmp_path):
+        """Planted PII: exact per-category counts + redacted text, AND
+        hash-parity with the DuckDB mirror on the same planted table
+        (the sf testdata carries no PII, so the oracle row there only
+        proves the zero case — this pins the positive one)."""
+        import duckdb
+        import pyarrow.parquet as pq
+
+        from fancyrag_ray.functions.quality import REDACT_PII_SQL, redact_pii_documents
+
+        texts = [
+            "mail me at john.doe+x@example.co.uk or 555-123-4567 now",
+            "SSN 123-45-6789 from 10.0.0.1 and +1 (212) 555-0199.",
+            "nothing here",
+            None,
+            "a@b.io a@b.io 999.999.999.999 call (800) 555 1234",
+        ]
+        t = pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()),
+             "text": pa.array(texts, pa.string())}
+        )
+        pq.write_table(t, tmp_path / "documents.parquet")
+        out = redact_pii_documents(str(tmp_path)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert out["n_emails"].tolist() == [1, 0, 0, 0, 2]
+        assert out["n_ssns"].tolist() == [0, 1, 0, 0, 0]
+        assert out["n_ipv4s"].tolist() == [0, 1, 0, 0, 1]
+        assert out["n_phones"].tolist() == [1, 1, 0, 0, 1]
+        assert out.loc[1, "text_clean"] == "SSN [SSN] from [IP] and [PHONE]."
+        assert "@" not in " ".join(out["text_clean"])
+        con = duckdb.connect()
+        con.register("documents", t)
+        sql = con.execute(REDACT_PII_SQL).fetchdf().sort_values("doc_id").reset_index(drop=True)
+        assert out.equals(sql)
+
     def test_rolling_fingerprint_deterministic_and_shift_invariant_min(self):
         from fancyrag_ray.functions.quality import rolling_fingerprint
 
@@ -127,6 +161,72 @@ class TestQualityFns:
         assert rolling_fingerprint("") == 0
         # shared window ⇒ shared candidate hashes (min may differ, both nonzero)
         assert rolling_fingerprint("x one two three four five y") != 0
+
+
+class TestParagraphDedup:
+    def _write(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        boiler = "subscribe to our newsletter"
+        texts = [
+            f"alpha one\n{boiler}\nunique tail a",
+            f"{boiler}\nbeta two",
+            "gamma three\ngamma three\ndelta four",  # within-doc repeat also dups
+            "",            # no paragraphs
+            None,          # null text
+            "\n\n",        # only empty lines
+            "epsilon solo",
+        ]
+        t = pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()),
+             "text": pa.array(texts, pa.string())}
+        )
+        pq.write_table(t, tmp_path / "documents.parquet")
+        return t
+
+    def _expect(self, out):
+        out = out.sort_values("doc_id").reset_index(drop=True)
+        assert out["n_paragraphs"].tolist() == [3, 2, 3, 0, 0, 0, 1]
+        assert out["n_dup_paragraphs"].tolist() == [1, 1, 2, 0, 0, 0, 0]
+        assert out.loc[0, "text_clean"] == "alpha one\nunique tail a"
+        assert out.loc[1, "text_clean"] == "beta two"
+        assert out.loc[2, "text_clean"] == "delta four"  # both repeats dropped
+        assert out.loc[3, "text_clean"] == "" and out.loc[5, "text_clean"] == ""
+        assert out.loc[6, "text_clean"] == "epsilon solo"
+
+    def test_broadcast_tier_planted(self, ray_session, tmp_path):
+        from fancyrag_ray.functions.dedup import dedup_paragraphs
+
+        self._write(tmp_path)
+        out = dedup_paragraphs(str(tmp_path)).to_pandas()
+        assert len(out) == 7
+        self._expect(out)
+
+    def test_join_tier_equals_broadcast(self, ray_session, tmp_path):
+        """Forcing the dup set above the broadcast budget must route the
+        explode∪mark join tier and return identical rows."""
+        from fancyrag_ray.functions.dedup import dedup_paragraphs
+
+        self._write(tmp_path)
+        out = dedup_paragraphs(str(tmp_path), broadcast_budget_bytes=1).to_pandas()
+        assert len(out) == 7
+        self._expect(out)
+
+    def test_sql_mirror_on_planted(self, ray_session, tmp_path):
+        """The sf testdata has near-zero natural paragraph dups, so pin
+        mirror parity on the planted table too."""
+        import duckdb
+
+        from fancyrag_ray.functions.dedup import DEDUP_PARAGRAPHS_SQL, dedup_paragraphs
+
+        t = self._write(tmp_path)
+        out = (
+            dedup_paragraphs(str(tmp_path)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", t)
+        sql = con.execute(DEDUP_PARAGRAPHS_SQL).fetchdf().sort_values("doc_id").reset_index(drop=True)
+        assert out.equals(sql)
 
 
 class TestNearDup:
