@@ -332,8 +332,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def entity_pagerank(sf_dir: str):
         """Symmetric PageRank over the flagship CO_OCCURS edges, top-20
         by rank. Iterative/float — rows-only driver check; equivalence
-        to dense power iteration pinned in tests/test_graph.py."""
+        to dense power iteration pinned in tests/test_graph.py (the
+        integer sibling ``entity_pagerank_exact`` carries the family's
+        SQL oracle)."""
         from fancyrag_ray.functions.graph import entity_pagerank as f
+
+        return f(sf_dir)
+
+    def entity_pagerank_exact(sf_dir: str):
+        """Integer micro-unit PageRank over the flagship graph — every
+        op an int64 multiply/floor-divide/sum, so the chained-CTE DuckDB
+        mirror is hash-exact after the fixed 5 iterations."""
+        from fancyrag_ray.functions.graph import entity_pagerank_exact as f
 
         return f(sf_dir)
 
@@ -456,6 +466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_counts": R.events_hopping_counts,
         "redact_pii_documents": Q.redact_pii_documents,
         "dedup_paragraphs": D.dedup_paragraphs,
+        "entity_pagerank_exact": entity_pagerank_exact,
         "events_sessions_sharded": R.events_sessions_sharded,
         "events_last_order_sharded": TS.events_last_order_sharded,
         "events_rolling_hour_sharded": TS.events_rolling_hour_sharded,
@@ -527,6 +538,11 @@ def oracle_sql() -> dict[str, str]:
         # Dolma-style corpus-wide paragraph dedup (count>1 paragraphs
         # removed everywhere; ordered per-doc rebuild) — hash-exact
         "dedup_paragraphs": D.DEDUP_PARAGRAPHS_SQL,
+        # integer-arithmetic PageRank (micro-unit ranks; floor division
+        # and int sums are engine-independent) vs one CTE per iteration
+        # through the full flagship DAG — the iterative family's first
+        # hash-exact oracle
+        "entity_pagerank_exact": G.entity_pagerank_exact_sql(),
         # the time-sharded variants are semantically identical, so they
         # share the unsharded operators' oracles verbatim
         "events_last_order_sharded": R.EVENTS_LAST_ORDER_SQL,

@@ -584,6 +584,177 @@ def entity_pagerank(sf_dir: str, top: int = 20) -> rd.Dataset:
     return ranks.sort(["rank", "node"], descending=[True, False]).limit(top)
 
 
+def pagerank_int(
+    edges: rd.Dataset,
+    src_col: str = "src_id",
+    dst_col: str = "dst_id",
+    iters: int = 5,
+    broadcast_budget: int | None = None,
+) -> rd.Dataset:
+    """Integer-arithmetic PageRank over a SYMMETRIC edge Dataset →
+    (node, rank_micro) — the oracle-exact member of the iterative
+    family. Rank mass is 10¹² integer micro-units; the update is
+
+        r'[v] = (150000000000 // n)  +  Σ_{u→v} (r[u]·85) // (100·od[u])
+
+    i.e. damping 85/100 with every operation an int64 multiply/floor-
+    divide/sum. Integer sums are associative-exact (no float rounding to
+    order), and floor division of positive int64 is engine-independent,
+    so after any fixed number of iterations the ranks are bit-identical
+    to the chained-CTE SQL mirror — unlike the float :func:`pagerank`,
+    whose accumulation order drifts across engines.
+
+    Same two-tier state transport as :func:`pagerank` (per-iteration
+    byte-budgeted broadcast of the O(nodes) rank vector, else hash
+    joins). Symmetric input is required (both directions are unioned
+    here): every node then has out-degree ≥ 1, so there is no dangling
+    mass and the GROUP BY over destinations covers the node universe —
+    the invariant that keeps the integer mirror exactly mirrorable."""
+    ed = edges.select_columns([src_col, dst_col]).map_batches(
+        lambda t: pa.table(
+            {"src": t.column(src_col).cast(pa.string()), "dst": t.column(dst_col).cast(pa.string())}
+        ),
+        batch_format="pyarrow",
+    )
+    ed = ed.union(
+        ed.map_batches(
+            lambda t: pa.table({"src": t.column("dst"), "dst": t.column("src")}),
+            batch_format="pyarrow",
+        )
+    ).materialize()
+
+    def od_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["src"]).aggregate([([], "count_all")])
+        return g.rename_columns(["src", "od"])
+
+    def od_combine(t: pa.Table) -> pa.Table:
+        return t.group_by(["src"]).aggregate([("od", "sum")]).rename_columns(["src", "od"])
+
+    nparts = adaptive_partitions(8, n_rows=ed.count())
+    outdeg = hash_partitioned_combine(
+        ed.map_batches(od_partial, batch_format="pyarrow", batch_size=None),
+        ["src"], od_combine, nparts,
+    ).materialize()
+    n_nodes = outdeg.count()  # symmetric ⇒ sources ARE the node universe
+    _empty = pa.table({"node": pa.array([], pa.string()), "rank_micro": pa.array([], pa.int64())})
+    if n_nodes == 0:
+        return rd.from_arrow(_empty)
+    start = 1_000_000_000_000 // n_nodes
+    base = 150_000_000_000 // n_nodes
+
+    use_broadcast = fits_broadcast(
+        n_nodes,
+        dataset_mean_row_bytes(outdeg, n_nodes) + 8.0,
+        **({"budget_bytes": broadcast_budget} if broadcast_budget is not None else {}),
+    )
+    if use_broadcast:
+        od_tbl = pa.concat_tables(list(outdeg.iter_batches(batch_format="pyarrow")))
+        order = pc.array_sort_indices(od_tbl.column("src"))
+        node_arr = pc.take(od_tbl.column("src"), order).combine_chunks()
+        od_vec = pc.take(od_tbl.column("od"), order).to_numpy(zero_copy_only=False).astype(np.int64)
+        rank_vec = np.full(n_nodes, start, np.int64)
+        node_ref = ray.put(node_arr)
+        for _ in range(iters):
+            w_vec = (rank_vec * 85) // (100 * od_vec)
+            w_ref = ray.put(w_vec)
+
+            def contrib(t: pa.Table, _n=node_ref, _w=w_ref) -> pa.Table:
+                na, wv = ray.get(_n), ray.get(_w)
+                idx = pc.index_in(t.column("src"), value_set=na).to_numpy(zero_copy_only=False)
+                out = pa.table({"dst": t.column("dst"), "c": pa.array(wv[idx], type=pa.int64())})
+                g = out.group_by(["dst"]).aggregate([("c", "sum")])
+                return g.rename_columns(["dst", "c"])
+
+            sums = hash_partitioned_combine(
+                ed.map_batches(contrib, batch_format="pyarrow", batch_size=None),
+                ["dst"],
+                lambda t: t.group_by(["dst"]).aggregate([("c", "sum")]).rename_columns(["dst", "c"]),
+                nparts,
+            )
+            new_vec = np.full(n_nodes, base, np.int64)
+            for b in sums.iter_batches(batch_format="pyarrow"):
+                idx = pc.index_in(b.column("dst"), value_set=node_arr).to_numpy(zero_copy_only=False)
+                new_vec[idx] += b.column("c").to_numpy(zero_copy_only=False)
+            rank_vec = new_vec
+        return rd.from_arrow(
+            pa.table({"node": node_arr, "rank_micro": pa.array(rank_vec, type=pa.int64())})
+        )
+
+    # join tier: O(nodes) rank state stays distributed
+    ed2 = ed.join(outdeg, join_type="inner", num_partitions=nparts, on=("src",)).materialize()
+    ranks_ds = outdeg.map_batches(
+        lambda t: pa.table(
+            {"src": t.column("src"), "r": pa.array(np.full(t.num_rows, start, np.int64))}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    for _ in range(iters):
+        contribs = ed2.join(
+            ranks_ds, join_type="inner", num_partitions=nparts, on=("src",)
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "dst": t.column("dst"),
+                    "c": pc.divide(
+                        pc.multiply(t.column("r"), pa.scalar(85, pa.int64())),
+                        pc.multiply(t.column("od"), pa.scalar(100, pa.int64())),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        summed = hash_partitioned_combine(
+            contribs,
+            ["dst"],
+            lambda t: t.group_by(["dst"]).aggregate([("c", "sum")]).rename_columns(["dst", "c"]),
+            nparts,
+        )
+        # symmetric ⇒ every node receives ≥ 1 contribution: inner join
+        ranks_ds = summed.map_batches(
+            lambda t: pa.table(
+                {
+                    "src": t.column("dst"),
+                    "r": pc.add(pa.scalar(base, pa.int64()), pc.cast(t.column("c"), pa.int64())),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+    return ranks_ds.map_batches(
+        lambda t: t.rename_columns(["node", "rank_micro"]), batch_format="pyarrow"
+    )
+
+
+def entity_pagerank_exact(sf_dir: str, iters: int = 5) -> rd.Dataset:
+    """Integer PageRank over the flagship CO_OCCURS graph, every node's
+    rank in micro-units — oracle-checked end-to-end against the chained-
+    CTE mirror (one CTE per iteration; no recursive aggregation, which
+    engines disallow in recursive terms)."""
+    return pagerank_int(_flagship_edges(sf_dir), iters=iters)
+
+
+def entity_pagerank_exact_sql(iters: int = 5) -> str:
+    from .textops import KG_FLAGSHIP_EDGES_SQL
+
+    parts = [
+        f"WITH edges0 AS ({KG_FLAGSHIP_EDGES_SQL})",
+        "ed AS (SELECT src_id AS src, dst_id AS dst FROM edges0"
+        " UNION ALL SELECT dst_id AS src, src_id AS dst FROM edges0)",
+        "outdeg AS (SELECT src, COUNT(*)::BIGINT AS od FROM ed GROUP BY src)",
+        "nn AS (SELECT COUNT(*)::BIGINT AS n FROM outdeg)",
+        "r0 AS (SELECT src AS node, (1000000000000 // nn.n)::BIGINT AS r FROM outdeg CROSS JOIN nn)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"r{i} AS (SELECT e.dst AS node,"
+            " ((SELECT 150000000000 // n FROM nn)"
+            " + SUM((p.r * 85) // (100 * o.od)))::BIGINT AS r"
+            f" FROM ed e JOIN r{i - 1} p ON e.src = p.node"
+            " JOIN outdeg o ON e.src = o.src GROUP BY e.dst)"
+        )
+    ctes = ",\n".join(parts)
+    return f"{ctes}\nSELECT node, r AS rank_micro FROM r{iters}"
+
+
 def common_neighbor_scores(
     edges: rd.Dataset,
     src_col: str = "src_id",

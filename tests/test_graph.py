@@ -101,6 +101,63 @@ class TestPagerank:
         assert out.count() == 0
 
 
+def _numpy_pagerank_int(pairs, iters=5):
+    """Dense integer reference of pagerank_int's exact update rule."""
+    es = list(pairs)
+    es = es + [(b, a) for a, b in es]
+    nodes = sorted({x for e in es for x in e})
+    pos = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n, np.int64)
+    for a, _ in es:
+        out[pos[a]] += 1
+    start, base = 10**12 // n, 150_000_000_000 // n
+    r = np.full(n, start, np.int64)
+    for _ in range(iters):
+        new = np.full(n, base, np.int64)
+        for a, b in es:
+            new[pos[b]] += (r[pos[a]] * 85) // (100 * out[pos[a]])
+        r = new
+    return nodes, r
+
+
+class TestPagerankInt:
+    def test_broadcast_tier_matches_numpy_exactly(self, ray_session):
+        from fancyrag_ray.functions.graph import pagerank_int
+
+        got = pagerank_int(_edge_ds(GRAPH)).to_pandas().sort_values("node").reset_index(drop=True)
+        nodes, r = _numpy_pagerank_int(GRAPH)
+        assert got["node"].tolist() == nodes
+        assert got["rank_micro"].tolist() == r.tolist()  # bit-exact, no tolerance
+
+    def test_join_tier_matches_broadcast_exactly(self, ray_session):
+        from fancyrag_ray.functions.graph import pagerank_int
+
+        bc = pagerank_int(_edge_ds(GRAPH)).to_pandas().sort_values("node").reset_index(drop=True)
+        jn = (
+            pagerank_int(_edge_ds(GRAPH), broadcast_budget=1)
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        assert bc.equals(jn)
+
+    def test_mass_approximately_conserved(self, ray_session):
+        """Floor division leaks at most 1 micro-unit per edge per
+        iteration: total mass stays within that bound of 10^12."""
+        from fancyrag_ray.functions.graph import pagerank_int
+
+        got = pagerank_int(_edge_ds(GRAPH)).to_pandas()
+        total = int(got["rank_micro"].sum())
+        n_dir_edges = 2 * len(GRAPH)
+        slack = (n_dir_edges + 2 * len(got)) * 5  # div leaks + base rounding
+        assert abs(total - 10**12) <= slack
+
+    def test_empty_edges(self, ray_session):
+        from fancyrag_ray.functions.graph import pagerank_int
+
+        out = pagerank_int(_edge_ds([]))
+        assert out.count() == 0 and out.schema().names == ["node", "rank_micro"]
+
+
 class TestTriangles:
     def test_known_triangles(self, ray_session):
         from fancyrag_ray.functions.graph import triangle_counts
