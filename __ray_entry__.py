@@ -467,6 +467,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii_documents": Q.redact_pii_documents,
         "dedup_paragraphs": D.dedup_paragraphs,
         "entity_pagerank_exact": entity_pagerank_exact,
+        "fulltext_topk_chunks": T.fulltext_topk_chunks,
+        "fuzzy_term_matches": T.fuzzy_term_matches,
+        "gopher_quality_filter": Q.gopher_quality_filter,
         "events_sessions_sharded": R.events_sessions_sharded,
         "events_last_order_sharded": TS.events_last_order_sharded,
         "events_rolling_hour_sharded": TS.events_rolling_hour_sharded,
@@ -543,6 +546,14 @@ def oracle_sql() -> dict[str, str]:
         # through the full flagship DAG — the iterative family's first
         # hash-exact oracle
         "entity_pagerank_exact": G.entity_pagerank_exact_sql(),
+        # the REAL fulltext serving path (chunker -> per-block TF cut ->
+        # global top-k) vs the same RE2 counts over the chunk CTE
+        "fulltext_topk_chunks": T.FULLTEXT_TOPK_CHUNKS_SQL,
+        # fuzzy entity linking (length-band blocked numpy Levenshtein)
+        # vs DuckDB's native levenshtein over the unnested token table
+        "fuzzy_term_matches": T.FUZZY_TERM_MATCHES_SQL,
+        # Gopher-rule composite quality filter, all-integer rule math
+        "gopher_quality_filter": Q.GOPHER_QUALITY_FILTER_SQL,
         # the time-sharded variants are semantically identical, so they
         # share the unsharded operators' oracles verbatim
         "events_last_order_sharded": R.EVENTS_LAST_ORDER_SQL,

@@ -454,3 +454,114 @@ def _redact_pii_sql() -> str:
 
 
 REDACT_PII_SQL = _redact_pii_sql()
+
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_filter(sf_dir: str) -> rd.Dataset:
+    """Gopher-style composite quality filter (Rae et al. 2021, table A1
+    rule family) over the driver documents, DRIVER-ORACLED: every rule
+    is evaluated in INTEGER arithmetic (cross-multiplied ratios, micro
+    ints for the mean) so the DuckDB mirror is hash-exact, and every
+    signal is one RE2 kernel (``count_substring_regex`` /
+    ``replace_substring_regex``) over the batch — no per-row Python.
+
+    Signals per doc: word count, words containing a letter, total word
+    chars, mean word length (micro BIGINT), stopword variety, line /
+    bullet-line / ellipsis-line counts, ``keep`` = AND of the rules:
+
+    - 20 <= n_words <= 1000
+    - 3.0 <= mean word length <= 10.0   (micro-int compare)
+    - >= 80% of words contain a letter  (5*alpha >= 4*words)
+    - >= 1 stopword present
+    - <= 90% bullet lines, <= 30% ellipsis-ending lines
+
+    The thresholds are tuned to the driver corpus's 10-99-word range so
+    the flag actually splits it (Gopher's own 50/100k bounds would pass
+    or fail everything); the rule STRUCTURE is the published one.
+    """
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        i64 = pa.int64()
+        n_words = pc.count_substring_regex(text, r"\S+").cast(i64)
+        n_alpha = pc.count_substring_regex(text, r"\S*[a-zA-Z]\S*").cast(i64)
+        word_chars = pc.utf8_length(pc.replace_substring_regex(text, r"\s+", "")).cast(i64)
+        n_lines = pc.add(pc.count_substring_regex(text, r"\n").cast(i64), 1)
+        n_bullet = pc.count_substring_regex(text, r"(?m)^\s*[-*]").cast(i64)
+        n_ellipsis = pc.count_substring_regex(text, r"(?m)\.\.\.$").cast(i64)
+        n_stop = None
+        for w in _GOPHER_STOPWORDS:
+            hit = pc.greater(pc.count_substring_regex(text, rf"\b{w}\b"), 0).cast(i64)
+            n_stop = hit if n_stop is None else pc.add(n_stop, hit)
+
+        wn = n_words.to_numpy(zero_copy_only=False)
+        wc = word_chars.to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean_micro = np.where(wn > 0, np.round(1e6 * wc / np.maximum(wn, 1)), 0).astype(np.int64)
+
+        na = n_alpha.to_numpy(zero_copy_only=False)
+        ns = n_stop.to_numpy(zero_copy_only=False)
+        nl = n_lines.to_numpy(zero_copy_only=False)
+        nb = n_bullet.to_numpy(zero_copy_only=False)
+        ne = n_ellipsis.to_numpy(zero_copy_only=False)
+        keep = (
+            (wn >= 20) & (wn <= 1000)
+            & (mean_micro >= 3_000_000) & (mean_micro <= 10_000_000)
+            & (5 * na >= 4 * wn)
+            & (ns >= 1)
+            & (10 * nb <= 9 * nl)
+            & (10 * ne <= 3 * nl)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_words": n_words,
+                "n_alpha_words": n_alpha,
+                "mean_wl_micro": pa.array(mean_micro, i64),
+                "n_stop_hits": n_stop,
+                "n_lines": n_lines,
+                "n_bullet_lines": n_bullet,
+                "n_ellipsis_lines": n_ellipsis,
+                "keep": pa.array(keep, i64),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=4096)
+
+
+def _gopher_sql() -> str:
+    stop = " + ".join(
+        f"CASE WHEN length(regexp_extract_all(text, '\\b{w}\\b')) > 0 THEN 1 ELSE 0 END"
+        for w in _GOPHER_STOPWORDS
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         length(regexp_extract_all(text, '\\S+'))::BIGINT AS n_words,
+         length(regexp_extract_all(text, '\\S*[a-zA-Z]\\S*'))::BIGINT AS n_alpha_words,
+         LENGTH(regexp_replace(text, '\\s+', '', 'g'))::BIGINT AS word_chars,
+         (length(regexp_extract_all(text, '\\n')) + 1)::BIGINT AS n_lines,
+         length(regexp_extract_all(text, '(?m)^\\s*[-*]'))::BIGINT AS n_bullet_lines,
+         length(regexp_extract_all(text, '(?m)\\.\\.\\.$'))::BIGINT AS n_ellipsis_lines,
+         ({stop})::BIGINT AS n_stop_hits
+  FROM documents
+)
+SELECT doc_id, n_words, n_alpha_words,
+       CASE WHEN n_words > 0
+            THEN CAST(ROUND(1e6 * word_chars / n_words) AS BIGINT) ELSE 0 END AS mean_wl_micro,
+       n_stop_hits, n_lines, n_bullet_lines, n_ellipsis_lines,
+       CAST(n_words >= 20 AND n_words <= 1000
+        AND (CASE WHEN n_words > 0 THEN CAST(ROUND(1e6 * word_chars / n_words) AS BIGINT) ELSE 0 END)
+            BETWEEN 3000000 AND 10000000
+        AND 5 * n_alpha_words >= 4 * n_words
+        AND n_stop_hits >= 1
+        AND 10 * n_bullet_lines <= 9 * n_lines
+        AND 10 * n_ellipsis_lines <= 3 * n_lines AS BIGINT) AS keep
+FROM s
+"""
+
+
+GOPHER_QUALITY_FILTER_SQL = _gopher_sql()

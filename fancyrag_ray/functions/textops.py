@@ -680,3 +680,153 @@ SELECT doc_id, term, tfidf FROM (
   FROM tf JOIN df USING (term)
 ) WHERE rn <= 5
 """
+
+
+def fulltext_topk_chunks(sf_dir: str, query_text: str = "customer order supplier", k: int = 20):
+    """O4 end-to-end as a DRIVER-ORACLED query: run the REAL serving
+    fulltext path (``retrieval.fulltext_topk`` — per-block columnar TF
+    cut under the same (score desc, uid asc) total order as the global
+    sort, then a k-row global top-k) over the exact-profile chunker
+    output, and emit the integral term-frequency score as BIGINT so the
+    DuckDB mirror — identical RE2 word-boundary patterns via
+    ``regexp_extract_all`` over the same ``generate_series`` chunk CTE —
+    is hash-exact. Converts the fulltext serving path from pytest-only
+    to a green driver-oracle row (reference fulltext scoring surface:
+    ``src/fancyrag/mcp/runtime.py:30-38``)."""
+    from ..pipelines.retrieval import fulltext_topk
+
+    chunks = chunk_documents(sf_dir)
+    df = fulltext_topk(chunks, query_text, k=k)
+    df["tf"] = df.pop("score_fulltext").astype("int64")
+    return df[["chunk_uid", "tf"]]
+
+
+def _fulltext_topk_chunks_sql(query_text: str = "customer order supplier", k: int = 20) -> str:
+    import re as _re
+
+    terms = [t for t in _re.findall(r"[a-z0-9]+", query_text.lower()) if len(t) > 1]
+    tf = " + ".join(f"length(regexp_extract_all(lower(text), '\\b{t}\\b'))" for t in terms)
+    return f"""
+WITH chunks AS ({CHUNK_DOCUMENTS_SQL}),
+scored AS (SELECT chunk_uid, CAST({tf} AS BIGINT) AS tf FROM chunks)
+SELECT chunk_uid, tf FROM scored WHERE tf > 0 ORDER BY tf DESC, chunk_uid ASC LIMIT {k}
+"""
+
+
+FULLTEXT_TOPK_CHUNKS_SQL = _fulltext_topk_chunks_sql()
+
+
+def _levenshtein_to_term(toks: np.ndarray, lens: np.ndarray, term: bytes) -> np.ndarray:
+    """Edit distance of every row of a zero-padded byte matrix to ONE
+    term — Wagner-Fischer with the loops over term chars × matrix width
+    (both bounded by max token length, ~10) and numpy over ALL tokens at
+    once, so cost is O(m·w) vector ops regardless of token count. The
+    padded tail beyond each token's length never reaches the gathered
+    cell ``dp[row, lens[row]]``, so zero-padding is harmless."""
+    n, width = toks.shape
+    m = len(term)
+    prev = np.broadcast_to(np.arange(width + 1, dtype=np.int32), (n, width + 1)).copy()
+    for i in range(1, m + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        ne = (toks != term[i - 1]).astype(np.int32)
+        for j in range(1, width + 1):
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1), prev[:, j - 1] + ne[:, j - 1]
+            )
+        prev = cur
+    return prev[np.arange(n), lens]
+
+
+def fuzzy_term_matches(sf_dir: str, max_dist: int = 2) -> rd.Dataset:
+    """Typo-tolerant entity linking (fuzzy J6): corpus tokens within
+    edit distance ``max_dist`` of a canonical vocabulary term, with the
+    number of documents containing each token. The reference resolves
+    entities by EXACT key only (``canonicalize`` / J6,
+    ``src/fancyrag/kg/pipeline.py:640-668``); this is the fuzzy variant
+    a real entity-resolution pass needs, and it is fully SQL-oracled
+    via DuckDB's ``levenshtein``.
+
+    Scale shape: raw text never shuffles — tokens are extracted and
+    made distinct per (doc, block) inside ``map_batches``, only slim
+    ``(token, partial n_docs)`` rows reach the one ``groupby``, and the
+    distance pass runs over the DISTINCT-token table (bounded by corpus
+    vocabulary, not corpus size) against the 8-term broadcast-by-closure
+    vocabulary with a length-band prefilter (|len(tok) - len(term)| <=
+    max_dist blocks the quadratic work exactly like a blocking key in
+    classic record linkage)."""
+
+    vocab = TermMentionExtractor.DEFAULT_VOCAB
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def tokens_partial(t: pa.Table) -> pa.Table:
+        lowered = pc.utf8_lower(t.column("text"))
+        lists = pc.split_pattern_regex(lowered, "[^a-z]+")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        keep = pc.greater_equal(pc.utf8_length(flat), 3)
+        pairs = pa.table(
+            {"doc_id": t.column("doc_id").take(parent.filter(keep)), "tok": flat.filter(keep)}
+        )
+        # one doc lives in exactly one batch, so per-batch distinct
+        # (doc_id, tok) -> per-token doc counts is an EXACT partial
+        dd = pairs.group_by(["doc_id", "tok"]).aggregate([])
+        g = dd.group_by(["tok"]).aggregate([([], "count_all")])
+        return g.rename_columns(["tok", "n_docs"])
+
+    distinct = (
+        ds.map_batches(tokens_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("tok")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+    def match(t: pa.Table) -> pa.Table:
+        toks = t.column("tok").to_pylist()
+        nd = t.column("n_docs").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        out_tok, out_term, out_dist, out_nd = [], [], [], []
+        lengths = np.fromiter((len(s) for s in toks), dtype=np.int64, count=len(toks))
+        for term in vocab:
+            band = np.flatnonzero(np.abs(lengths - len(term)) <= max_dist)
+            if band.size == 0:
+                continue
+            width = int(lengths[band].max())
+            # the encode loop runs over the DISTINCT-token table only
+            # (vocabulary-bounded); numpy S-dtype zero-pads to width
+            mat = np.array([toks[i].encode() for i in band], dtype=f"S{width}").view(np.uint8).reshape(band.size, width)
+            d = _levenshtein_to_term(mat, lengths[band].astype(np.int64), term.encode())
+            hit = np.flatnonzero(d <= max_dist)
+            for h in hit:
+                i = band[h]
+                if toks[i] == term:
+                    continue
+                out_tok.append(toks[i])
+                out_term.append(term)
+                out_dist.append(int(d[h]))
+                out_nd.append(int(nd[i]))
+        return pa.table(
+            {
+                "token": pa.array(out_tok, pa.string()),
+                "term": pa.array(out_term, pa.string()),
+                "dist": pa.array(out_dist, pa.int64()),
+                "n_docs": pa.array(out_nd, pa.int64()),
+            }
+        )
+
+    return distinct.map_batches(match, batch_format="pyarrow", batch_size=8192)
+
+
+def _fuzzy_term_matches_sql(max_dist: int = 2) -> str:
+    vals = ",".join(f"('{t}')" for t in TermMentionExtractor.DEFAULT_VOCAB)
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]{{3,}}')) AS tok
+  FROM documents
+), dt AS (SELECT tok, COUNT(*)::BIGINT AS n_docs FROM toks GROUP BY tok),
+v(term) AS (VALUES {vals})
+SELECT dt.tok AS token, v.term AS term, CAST(levenshtein(dt.tok, v.term) AS BIGINT) AS dist, n_docs
+FROM dt JOIN v ON ABS(LENGTH(dt.tok) - LENGTH(v.term)) <= {max_dist}
+WHERE dt.tok <> v.term AND levenshtein(dt.tok, v.term) <= {max_dist}
+"""
+
+
+FUZZY_TERM_MATCHES_SQL = _fuzzy_term_matches_sql()

@@ -911,3 +911,67 @@ class TestTfidfTopTerms:
                            grp.sort_values(["tfidf", "term"], ascending=[False, True])["term"]))
             assert [w for _, w in scored] == [w for _, w in got]
             assert all(math.isclose(a, b) for (a, _), (b, _) in zip(scored, got))
+
+
+class TestLevenshteinVectorized:
+    def test_matches_pure_python_dp(self):
+        """The numpy all-tokens-at-once DP equals the classic per-pair
+        Wagner-Fischer on a deterministic grid of tricky pairs
+        (transposes, prefixes, repeats, empty-band edges)."""
+        import numpy as np
+
+        from fancyrag_ray.functions.textops import _levenshtein_to_term
+
+        def ref(a: str, b: str) -> int:
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        rng = np.random.default_rng(7)
+        alpha = "abcde"
+        toks = ["order", "ordre", "orders", "merge", "emerg", "part", "trap", "aaa", "abc"]
+        toks += ["".join(rng.choice(list(alpha), size=int(n))) for n in rng.integers(3, 11, size=40)]
+        terms = ["order", "part", "merge", "vector", "abcde"]
+        for term in terms:
+            width = max(len(t) for t in toks)
+            mat = np.array([t.encode() for t in toks], dtype=f"S{width}").view(np.uint8).reshape(len(toks), width)
+            lens = np.array([len(t) for t in toks], dtype=np.int64)
+            got = _levenshtein_to_term(mat, lens, term.encode())
+            want = np.array([ref(t, term) for t in toks])
+            assert (got == want).all(), (term, list(zip(toks, got, want)))
+
+
+class TestGopherQualityFilter:
+    def test_line_rules_and_bounds(self, ray_session, tmp_path):
+        """Planted docs exercising every rule branch the synthetic corpus
+        never hits: bullet-heavy, ellipsis-heavy, too-short, no-letter
+        words, long-word mean, zero stopwords."""
+        import pyarrow.parquet as pq
+
+        from fancyrag_ray.functions.quality import gopher_quality_filter
+
+        good = "the quick brown fox jumps over the lazy dog " * 5  # 45 words, has 'the'
+        bullets = "\n".join(f"- item {i}" for i in range(30))  # all bullet lines
+        ellipsis = "\n".join(f"the line {i} trails off..." for i in range(10))
+        short = "the end"
+        numbers = "the " + " ".join(str(i) for i in range(40))  # <80% alpha words
+        longwords = "the " + " ".join(["supercalifragilistic"] * 39)  # mean wl > 10
+        nostop = "quick brown fox jumps over lazy dog " * 5
+        texts = [good, bullets, ellipsis, short, numbers, longwords, nostop]
+        t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(t, str(d / "documents.parquet"))
+
+        out = gopher_quality_filter(str(d)).to_pandas().set_index("doc_id").sort_index()
+        assert out.loc[0, "keep"] == 1
+        assert out.loc[1, "keep"] == 0 and out.loc[1, "n_bullet_lines"] == 30
+        assert out.loc[2, "keep"] == 0 and out.loc[2, "n_ellipsis_lines"] == 10
+        assert out.loc[3, "keep"] == 0 and out.loc[3, "n_words"] == 2
+        assert out.loc[4, "keep"] == 0  # alpha-word ratio
+        assert out.loc[5, "keep"] == 0  # mean word length
+        assert out.loc[6, "keep"] == 0 and out.loc[6, "n_stop_hits"] == 0
