@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from fancyrag_ray.functions import similarity as S
     from fancyrag_ray.functions import textops as T
     from fancyrag_ray.functions import timeshard as TS
+    from fancyrag_ray.pipelines.clean_corpus import corpus_cleaning_funnel
 
     def near_dup_minhash(sf_dir: str):
         import ray.data as rd
@@ -470,6 +471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulltext_topk_chunks": T.fulltext_topk_chunks,
         "fuzzy_term_matches": T.fuzzy_term_matches,
         "gopher_quality_filter": Q.gopher_quality_filter,
+        "corpus_cleaning_funnel": corpus_cleaning_funnel,
         "events_sessions_sharded": R.events_sessions_sharded,
         "events_last_order_sharded": TS.events_last_order_sharded,
         "events_rolling_hour_sharded": TS.events_rolling_hour_sharded,
@@ -506,6 +508,7 @@ def oracle_sql() -> dict[str, str]:
     from fancyrag_ray.functions import relational as R
     from fancyrag_ray.functions import similarity as S
     from fancyrag_ray.functions import textops as T
+    from fancyrag_ray.pipelines.clean_corpus import CORPUS_CLEANING_FUNNEL_SQL as _CLEAN_FUNNEL_SQL
     from fancyrag_ray.pipelines.ingest_dedup import INGEST_DEDUP_SQL as _INGEST_DEDUP_SQL
 
     return {
@@ -554,6 +557,10 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_term_matches": T.FUZZY_TERM_MATCHES_SQL,
         # Gopher-rule composite quality filter, all-integer rule math
         "gopher_quality_filter": Q.GOPHER_QUALITY_FILTER_SQL,
+        # the COMPOSED cleaning pipeline (quality -> exact dedup ->
+        # decontamination) hash-exact end-to-end vs one chained-CTE
+        # mirror built from the stage mirrors
+        "corpus_cleaning_funnel": _CLEAN_FUNNEL_SQL,
         # the time-sharded variants are semantically identical, so they
         # share the unsharded operators' oracles verbatim
         "events_last_order_sharded": R.EVENTS_LAST_ORDER_SQL,

@@ -482,54 +482,58 @@ def gopher_quality_filter(sf_dir: str) -> rd.Dataset:
     or fail everything); the rule STRUCTURE is the published one.
     """
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(gopher_flags_batch, batch_format="pyarrow", batch_size=4096)
 
-    def f(t: pa.Table) -> pa.Table:
-        text = t.column("text")
-        i64 = pa.int64()
-        n_words = pc.count_substring_regex(text, r"\S+").cast(i64)
-        n_alpha = pc.count_substring_regex(text, r"\S*[a-zA-Z]\S*").cast(i64)
-        word_chars = pc.utf8_length(pc.replace_substring_regex(text, r"\s+", "")).cast(i64)
-        n_lines = pc.add(pc.count_substring_regex(text, r"\n").cast(i64), 1)
-        n_bullet = pc.count_substring_regex(text, r"(?m)^\s*[-*]").cast(i64)
-        n_ellipsis = pc.count_substring_regex(text, r"(?m)\.\.\.$").cast(i64)
-        n_stop = None
-        for w in _GOPHER_STOPWORDS:
-            hit = pc.greater(pc.count_substring_regex(text, rf"\b{w}\b"), 0).cast(i64)
-            n_stop = hit if n_stop is None else pc.add(n_stop, hit)
 
-        wn = n_words.to_numpy(zero_copy_only=False)
-        wc = word_chars.to_numpy(zero_copy_only=False)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            mean_micro = np.where(wn > 0, np.round(1e6 * wc / np.maximum(wn, 1)), 0).astype(np.int64)
+def gopher_flags_batch(t: pa.Table) -> pa.Table:
+    """Per-batch Gopher rule kernel (shared by ``gopher_quality_filter``
+    and the corpus-cleaning funnel, which folds it into its single
+    per-doc pass)."""
+    text = t.column("text")
+    i64 = pa.int64()
+    n_words = pc.count_substring_regex(text, r"\S+").cast(i64)
+    n_alpha = pc.count_substring_regex(text, r"\S*[a-zA-Z]\S*").cast(i64)
+    word_chars = pc.utf8_length(pc.replace_substring_regex(text, r"\s+", "")).cast(i64)
+    n_lines = pc.add(pc.count_substring_regex(text, r"\n").cast(i64), 1)
+    n_bullet = pc.count_substring_regex(text, r"(?m)^\s*[-*]").cast(i64)
+    n_ellipsis = pc.count_substring_regex(text, r"(?m)\.\.\.$").cast(i64)
+    n_stop = None
+    for w in _GOPHER_STOPWORDS:
+        hit = pc.greater(pc.count_substring_regex(text, rf"\b{w}\b"), 0).cast(i64)
+        n_stop = hit if n_stop is None else pc.add(n_stop, hit)
 
-        na = n_alpha.to_numpy(zero_copy_only=False)
-        ns = n_stop.to_numpy(zero_copy_only=False)
-        nl = n_lines.to_numpy(zero_copy_only=False)
-        nb = n_bullet.to_numpy(zero_copy_only=False)
-        ne = n_ellipsis.to_numpy(zero_copy_only=False)
-        keep = (
-            (wn >= 20) & (wn <= 1000)
-            & (mean_micro >= 3_000_000) & (mean_micro <= 10_000_000)
-            & (5 * na >= 4 * wn)
-            & (ns >= 1)
-            & (10 * nb <= 9 * nl)
-            & (10 * ne <= 3 * nl)
-        ).astype(np.int64)
-        return pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "n_words": n_words,
-                "n_alpha_words": n_alpha,
-                "mean_wl_micro": pa.array(mean_micro, i64),
-                "n_stop_hits": n_stop,
-                "n_lines": n_lines,
-                "n_bullet_lines": n_bullet,
-                "n_ellipsis_lines": n_ellipsis,
-                "keep": pa.array(keep, i64),
-            }
-        )
+    wn = n_words.to_numpy(zero_copy_only=False)
+    wc = word_chars.to_numpy(zero_copy_only=False)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mean_micro = np.where(wn > 0, np.round(1e6 * wc / np.maximum(wn, 1)), 0).astype(np.int64)
 
-    return ds.map_batches(f, batch_format="pyarrow", batch_size=4096)
+    na = n_alpha.to_numpy(zero_copy_only=False)
+    ns = n_stop.to_numpy(zero_copy_only=False)
+    nl = n_lines.to_numpy(zero_copy_only=False)
+    nb = n_bullet.to_numpy(zero_copy_only=False)
+    ne = n_ellipsis.to_numpy(zero_copy_only=False)
+    keep = (
+        (wn >= 20) & (wn <= 1000)
+        & (mean_micro >= 3_000_000) & (mean_micro <= 10_000_000)
+        & (5 * na >= 4 * wn)
+        & (ns >= 1)
+        & (10 * nb <= 9 * nl)
+        & (10 * ne <= 3 * nl)
+    ).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "n_words": n_words,
+            "n_alpha_words": n_alpha,
+            "mean_wl_micro": pa.array(mean_micro, i64),
+            "n_stop_hits": n_stop,
+            "n_lines": n_lines,
+            "n_bullet_lines": n_bullet,
+            "n_ellipsis_lines": n_ellipsis,
+            "keep": pa.array(keep, i64),
+        }
+    )
+
 
 
 def _gopher_sql() -> str:

@@ -975,3 +975,54 @@ class TestGopherQualityFilter:
         assert out.loc[4, "keep"] == 0  # alpha-word ratio
         assert out.loc[5, "keep"] == 0  # mean word length
         assert out.loc[6, "keep"] == 0 and out.loc[6, "n_stop_hits"] == 0
+
+
+class TestCorpusCleaningFunnel:
+    def test_planted_funnel(self, ray_session, tmp_path):
+        """Each stage must actually drop something: a quality-failing doc,
+        an exact duplicate pair (min doc_id survives), and doc_ids chosen
+        so the md5-rule benchmark member contaminates a sharing doc."""
+        import hashlib
+
+        import duckdb
+        import pyarrow.parquet as pq
+
+        from fancyrag_ray.pipelines.clean_corpus import (
+            CORPUS_CLEANING_FUNNEL_SQL,
+            _BENCH_THRESH,
+            corpus_cleaning_funnel,
+        )
+
+        # find a doc_id that IS a benchmark member under the md5 rule
+        bench_id = next(
+            d for d in range(1, 10_000)
+            if hashlib.md5(str(d).encode()).hexdigest()[:4] < _BENCH_THRESH
+        )
+        ids = [d for d in range(1, 200)
+               if not hashlib.md5(str(d).encode()).hexdigest()[:4] < _BENCH_THRESH][:5]
+        good = "the quick brown fox jumps over the lazy dog " * 5
+        shared = "alpha beta gamma delta epsilon zeta eta theta " * 4 + "the end of it all now"
+        texts = {
+            ids[0]: good,                      # survives everything
+            ids[1]: good,                      # exact dup of ids[0] -> dropped at dedup
+            ids[2]: "too short",               # dropped at quality
+            ids[3]: shared,                    # contaminated by bench doc -> dropped at decontam
+            bench_id: shared + " benchmark copy marker words appended here",
+        }
+        t = pa.table({"doc_id": list(texts), "text": list(texts.values())})
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(t, str(d / "documents.parquet"))
+
+        out = corpus_cleaning_funnel(str(d)).set_index("stage")
+        assert out.loc["input", "n_docs"] == 5
+        assert out.loc["quality", "n_docs"] == 4          # 'too short' gone
+        assert out.loc["dedup", "n_docs"] == 3            # dup pair collapsed
+        assert out.loc["decontaminated", "n_docs"] == 1   # bench + contaminated gone
+
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+        sql = con.execute(CORPUS_CLEANING_FUNNEL_SQL).fetchdf().set_index("stage")
+        for s in ("input", "quality", "dedup", "decontaminated"):
+            assert out.loc[s, "n_docs"] == sql.loc[s, "n_docs"], s
+            assert out.loc[s, "n_tokens"] == sql.loc[s, "n_tokens"], s
