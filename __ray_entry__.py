@@ -472,6 +472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_term_matches": T.fuzzy_term_matches,
         "gopher_quality_filter": Q.gopher_quality_filter,
         "corpus_cleaning_funnel": corpus_cleaning_funnel,
+        "dedup_substrings": D.dedup_substrings,
         "events_sessions_sharded": R.events_sessions_sharded,
         "events_last_order_sharded": TS.events_last_order_sharded,
         "events_rolling_hour_sharded": TS.events_rolling_hour_sharded,
@@ -561,6 +562,9 @@ def oracle_sql() -> dict[str, str]:
         # decontamination) hash-exact end-to-end vs one chained-CTE
         # mirror built from the stage mirrors
         "corpus_cleaning_funnel": _CLEAN_FUNNEL_SQL,
+        # substring-level duplication census (Lee et al. 2022 family):
+        # stride-sampled 50-char grams, md5-hex fingerprints both sides
+        "dedup_substrings": D.DEDUP_SUBSTRINGS_SQL,
         # the time-sharded variants are semantically identical, so they
         # share the unsharded operators' oracles verbatim
         "events_last_order_sharded": R.EVENTS_LAST_ORDER_SQL,

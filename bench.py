@@ -343,6 +343,32 @@ def main() -> None:
             "entity_common_neighbors": timed(
                 __import__("fancyrag_ray.functions.graph", fromlist=["g"]).entity_common_neighbors
             ),
+            # round-4 later additions: windows, scrubbing, paragraph
+            # dedup, exact pagerank, fuzzy linking, quality gate, funnel
+            "events_value_delta": timed(R.events_value_delta),
+            "events_percent_rank": timed(R.events_percent_rank),
+            "events_ntile": timed(R.events_ntile),
+            "events_hopping_counts": timed(R.events_hopping_counts),
+            "redact_pii_documents": timed(
+                __import__("fancyrag_ray.functions.quality", fromlist=["q"]).redact_pii_documents
+            ),
+            "dedup_paragraphs": timed(
+                __import__("fancyrag_ray.functions.dedup", fromlist=["d"]).dedup_paragraphs
+            ),
+            "entity_pagerank_exact": timed(
+                __import__("__ray_entry__").queries()["entity_pagerank_exact"]
+            ),
+            "fuzzy_term_matches": timed(T.fuzzy_term_matches),
+            "gopher_quality_filter": timed(
+                __import__("fancyrag_ray.functions.quality", fromlist=["q"]).gopher_quality_filter
+            ),
+            "fulltext_topk_chunks": timed(T.fulltext_topk_chunks),
+            "corpus_cleaning_funnel": timed(
+                __import__("fancyrag_ray.pipelines.clean_corpus", fromlist=["c"]).corpus_cleaning_funnel
+            ),
+            "dedup_substrings": timed(
+                __import__("fancyrag_ray.functions.dedup", fromlist=["d"]).dedup_substrings
+            ),
         }
 
     print(json.dumps({

@@ -1132,3 +1132,151 @@ SELECT b.doc_id,
        COALESCE(m.text_clean, '') AS text_clean
 FROM base b LEFT JOIN m USING (doc_id)
 """
+
+
+def dedup_substrings(
+    sf_dir: str,
+    gram_chars: int = 50,
+    stride: int = 25,
+    broadcast_budget_bytes: int = BROADCAST_BUDGET_BYTES,
+) -> rd.Dataset:
+    """Exact SUBSTRING-level duplication census (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" family):
+    fixed-length character grams sampled at a stride are fingerprinted,
+    and every doc reports how many of its distinct grams also occur in
+    ANOTHER doc — the signal the substring-removal pass acts on. Emits
+    (doc_id, n_grams, n_dup_grams) for every doc with at least one full
+    gram; DRIVER-ORACLED (the fingerprint is ``SUBSTR(MD5(gram),1,16)``,
+    computable identically in DuckDB — at 10^12 docs the key would be a
+    raw 8-byte blake2b as in ``decontaminate_documents``; the md5-hex
+    choice keeps the mirror exact and is documented as the only delta).
+
+    Scale shape: gram slicing is one vectorized ``utf8_slice_codeunits``
+    per offset (≤ maxlen/stride kernel calls per batch, not per row);
+    raw gram text never shuffles — only 16-char fingerprints; per-batch
+    (doc, gid) distinct + per-gid partials bound the count shuffle by
+    the distinct-gram domain; the duplicated-gram set probes back via
+    the broadcast tier under ``fits_broadcast`` (one ``pc.is_in`` per
+    block) or a hash join above it.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        text = pc.coalesce(t.column("text"), pa.scalar("", pa.string()))
+        lens = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        max_off = int((lens.max() - gram_chars) // stride) if len(lens) and lens.max() >= gram_chars else -1
+        out_doc: list[np.ndarray] = []
+        out_gid: list[str] = []
+        for i in range(max_off + 1):
+            start = i * stride
+            keep = lens >= start + gram_chars
+            if not keep.any():
+                continue
+            grams = pc.utf8_slice_codeunits(text.filter(pa.array(keep)), start, start + gram_chars)
+            # md5 per sampled gram: the same bounded per-batch hashing
+            # loop decontaminate_documents uses for its shingles
+            out_gid.extend(hashlib.md5(g.encode()).hexdigest()[:16] for g in grams.to_pylist())
+            out_doc.append(ids[keep])
+        if not out_doc:
+            return pa.table({"doc_id": pa.array([], pa.int64()), "gid": pa.array([], pa.string())})
+        pairs = pa.table(
+            {"doc_id": pa.array(np.concatenate(out_doc)), "gid": pa.array(out_gid, pa.string())}
+        )
+        # a doc lives in exactly one batch → per-batch distinct is exact
+        return pairs.group_by(["doc_id", "gid"]).aggregate([])
+
+    pairs = docs.map_batches(explode, batch_format="pyarrow", batch_size=1024).materialize()
+
+    def gid_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["gid"]).aggregate([([], "count_all")])
+        return g.rename_columns(["gid", "nd"])
+
+    def gid_combine(t: pa.Table) -> pa.Table:
+        return t.group_by(["gid"]).aggregate([("nd", "sum")]).rename_columns(["gid", "nd"])
+
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return rd.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_grams": pa.array([], pa.int64()),
+                      "n_dup_grams": pa.array([], pa.int64())})
+        )
+    counts = hash_partitioned_combine(
+        pairs.map_batches(gid_partial, batch_format="pyarrow", batch_size=None),
+        ["gid"], gid_combine, adaptive_partitions(16, n_rows=n_pairs),
+    )
+    dups = (
+        counts.map_batches(
+            lambda t: t.filter(pc.greater(t.column("nd"), pa.scalar(1, pa.int64()))),
+            batch_format="pyarrow", batch_size=None,
+        )
+        .select_columns(["gid"])
+        .materialize()
+    )
+    n_dup = dups.count()
+
+    if n_dup == 0 or fits_broadcast(n_dup, dataset_mean_row_bytes(dups, n_dup), broadcast_budget_bytes):
+        dup_set = pa.array(dups.unique("gid"), pa.string()) if n_dup else pa.array([], pa.string())
+        dup_ref = ray.put(dup_set)
+
+        def per_doc(t: pa.Table) -> pa.Table:
+            vs = ray.get(dup_ref)
+            is_dup = pc.is_in(t.column("gid"), value_set=vs).cast(pa.int64())
+            pt = pa.table({"doc_id": t.column("doc_id"), "ones": pa.array(np.ones(t.num_rows, np.int64)), "dup": is_dup})
+            g = pt.group_by(["doc_id"]).aggregate([("ones", "sum"), ("dup", "sum")])
+            return g.rename_columns(["doc_id", "n_grams", "n_dup_grams"])
+
+        marked = pairs.map_batches(per_doc, batch_format="pyarrow", batch_size=None)
+    else:
+        joined = pairs.join(
+            dups.map_batches(
+                lambda t: t.append_column("__dup", pa.array(np.ones(t.num_rows, np.int64))),
+                batch_format="pyarrow",
+            ),
+            join_type="left_outer",
+            num_partitions=adaptive_partitions(16, n_rows=n_pairs),
+            on=("gid",), right_on=("gid",),
+        )
+
+        def per_doc_joined(t: pa.Table) -> pa.Table:
+            dup = pc.coalesce(t.column("__dup"), pa.scalar(0, pa.int64()))
+            pt = pa.table({"doc_id": t.column("doc_id"), "ones": pa.array(np.ones(t.num_rows, np.int64)), "dup": dup})
+            g = pt.group_by(["doc_id"]).aggregate([("ones", "sum"), ("dup", "sum")])
+            return g.rename_columns(["doc_id", "n_grams", "n_dup_grams"])
+
+        marked = joined.map_batches(per_doc_joined, batch_format="pyarrow", batch_size=None)
+
+    from ray.data.aggregate import Sum as _Sum
+
+    return (
+        marked.groupby("doc_id")
+        .aggregate(_Sum("n_grams", alias_name="n_grams"), _Sum("n_dup_grams", alias_name="n_dup_grams"))
+    )
+
+
+def _dedup_substrings_sql(gram_chars: int = 50, stride: int = 25) -> str:
+    return f"""
+WITH e AS (
+  SELECT doc_id, text,
+         CAST((LENGTH(text) - {gram_chars}) // {stride} AS INTEGER) AS max_off
+  FROM documents WHERE LENGTH(text) >= {gram_chars}
+), g AS (
+  SELECT DISTINCT doc_id,
+         SUBSTR(MD5(SUBSTR(text, i * {stride} + 1, {gram_chars})), 1, 16) AS gid
+  FROM e, LATERAL (SELECT unnest(generate_series(0, max_off)) AS i) s
+), c AS (
+  SELECT gid, COUNT(*)::BIGINT AS nd FROM g GROUP BY gid
+)
+SELECT g.doc_id, COUNT(*)::BIGINT AS n_grams,
+       SUM(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_grams
+FROM g JOIN c USING (gid)
+GROUP BY g.doc_id
+"""
+
+
+DEDUP_SUBSTRINGS_SQL = _dedup_substrings_sql()

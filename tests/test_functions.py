@@ -1026,3 +1026,34 @@ class TestCorpusCleaningFunnel:
         for s in ("input", "quality", "dedup", "decontaminated"):
             assert out.loc[s, "n_docs"] == sql.loc[s, "n_docs"], s
             assert out.loc[s, "n_tokens"] == sql.loc[s, "n_tokens"], s
+
+
+class TestDedupSubstrings:
+    def test_planted_shared_span_and_tier_equivalence(self, ray_session, tmp_path):
+        """Two docs sharing an exact 75-char prefix must both report
+        duplicated grams; a unique doc reports zero. The forced join
+        tier (budget=0) must equal the broadcast tier exactly."""
+        import pyarrow.parquet as pq
+
+        from fancyrag_ray.functions.dedup import dedup_substrings
+
+        shared = ("x" * 30 + "y" * 30 + "z" * 15)  # 75 chars -> grams at 0,25
+        a = shared + " tail one with extra words to pad out the length " * 2
+        b = shared + " completely different continuation here padding " * 2
+        c = "unique content that matches nothing else at all " * 4
+        t = pa.table({"doc_id": [1, 2, 3], "text": [a, b, c]})
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(t, str(d / "documents.parquet"))
+
+        out = dedup_substrings(str(d)).to_pandas().set_index("doc_id").sort_index()
+        assert out.loc[1, "n_dup_grams"] >= 2
+        assert out.loc[2, "n_dup_grams"] >= 2
+        assert out.loc[3, "n_dup_grams"] == 0
+        assert (out["n_grams"] > 0).all()
+
+        forced = (
+            dedup_substrings(str(d), broadcast_budget_bytes=0)
+            .to_pandas().set_index("doc_id").sort_index()
+        )
+        assert forced.equals(out)
