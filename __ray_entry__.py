@@ -473,6 +473,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality_filter": Q.gopher_quality_filter,
         "corpus_cleaning_funnel": corpus_cleaning_funnel,
         "dedup_substrings": D.dedup_substrings,
+        "events_funnel": R.events_funnel,
+        "events_retention": R.events_retention,
         "events_sessions_sharded": R.events_sessions_sharded,
         "events_last_order_sharded": TS.events_last_order_sharded,
         "events_rolling_hour_sharded": TS.events_rolling_hour_sharded,
@@ -565,6 +567,11 @@ def oracle_sql() -> dict[str, str]:
         # substring-level duplication census (Lee et al. 2022 family):
         # stride-sampled 50-char grams, md5-hex fingerprints both sides
         "dedup_substrings": D.DEDUP_SUBSTRINGS_SQL,
+        # sequential conversion funnel (strictly-after step chaining)
+        # vs the chained min-join SQL; cohort retention matrix vs the
+        # DATE_DIFF mirror — both all-integer outputs
+        "events_funnel": R.EVENTS_FUNNEL_SQL,
+        "events_retention": R.EVENTS_RETENTION_SQL,
         # the time-sharded variants are semantically identical, so they
         # share the unsharded operators' oracles verbatim
         "events_last_order_sharded": R.EVENTS_LAST_ORDER_SQL,

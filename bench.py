@@ -369,6 +369,8 @@ def main() -> None:
             "dedup_substrings": timed(
                 __import__("fancyrag_ray.functions.dedup", fromlist=["d"]).dedup_substrings
             ),
+            "events_funnel": timed(R.events_funnel),
+            "events_retention": timed(R.events_retention),
         }
 
     print(json.dumps({

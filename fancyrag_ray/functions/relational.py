@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
-from ..util import adaptive_partitions
+from ..util import adaptive_partitions, hash_partitioned_combine
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
@@ -1251,5 +1251,112 @@ SELECT make_timestamp(((epoch_us(ts) // 900000000) - j) * 900000000) AS window_s
        event_type,
        count(*) AS n_events
 FROM events, unnest([0, 1, 2, 3]) AS t(j)
+GROUP BY 1, 2
+"""
+
+
+def events_funnel(sf_dir: str, steps: tuple[str, ...] = ("view", "click", "purchase")) -> rd.Dataset:
+    """Sequential conversion FUNNEL — the product-analytics staple: how
+    many users reach step k, where step k counts only events STRICTLY
+    AFTER that user's step-(k-1) completion time (first view, then first
+    click after it, then first purchase after that). DRIVER-ORACLED: the
+    mirror is the classic chained min-join SQL; timestamps and counts
+    are exact integers.
+
+    Scale shape: one hash co-partition by ``user_id`` (every user's
+    stream lands whole in one block), then ONE vectorized pandas pass
+    per block — per step a filter + merge-on-prev + grouped min, no
+    per-user Python — emitting len(steps) partial count rows per block;
+    the final exchange is a ≤(blocks·steps)-row groupby. Hot-key caveat
+    shared with ``events_sessions`` (a pathological single user bounds a
+    block); the time-sharded family is the documented escape hatch."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+
+    def block(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        cur: pd.Series | None = None
+        counts: list[int] = []
+        for step in steps:
+            s = df[df["event_type"] == step]
+            if cur is not None:
+                s = s.merge(cur.rename("prev"), left_on="user_id", right_index=True)
+                s = s[s["ts"] > s["prev"]]
+            cur = s.groupby("user_id")["ts"].min()
+            counts.append(len(cur))
+        return pa.table(
+            {
+                "step": pa.array(range(1, len(steps) + 1), pa.int64()),
+                "step_name": pa.array(list(steps), pa.string()),
+                "n_users": pa.array(counts, pa.int64()),
+            }
+        )
+
+    partials = hash_partitioned_combine(ds, ["user_id"], block, adaptive_partitions(16, n_rows=n))
+    return partials.groupby(["step", "step_name"]).aggregate(Sum("n_users", alias_name="n_users"))
+
+
+def _events_funnel_sql(steps: tuple[str, ...] = ("view", "click", "purchase")) -> str:
+    ctes, prev = [], None
+    for i, step in enumerate(steps, 1):
+        if prev is None:
+            ctes.append(f"s{i} AS (SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = '{step}' GROUP BY user_id)")
+        else:
+            ctes.append(
+                f"s{i} AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN {prev} USING (user_id)"
+                f" WHERE e.event_type = '{step}' AND e.ts > {prev}.t GROUP BY e.user_id)"
+            )
+        prev = f"s{i}"
+    selects = " UNION ALL ".join(
+        f"SELECT {i}::BIGINT AS step, '{step}' AS step_name, COUNT(*)::BIGINT AS n_users FROM s{i}"
+        for i, step in enumerate(steps, 1)
+    )
+    return f"WITH {', '.join(ctes)} {selects}"
+
+
+EVENTS_FUNNEL_SQL = _events_funnel_sql()
+
+
+def events_retention(sf_dir: str) -> rd.Dataset:
+    """Cohort RETENTION matrix — users grouped by first-activity day,
+    counted on each later active day: (cohort_day, day_offset, n_users).
+    DRIVER-ORACLED; day truncation and offsets are exact integers.
+
+    Scale shape: same one-shuffle-by-user plan as ``events_funnel`` —
+    per block one vectorized pandas pass (day floor → per-user distinct
+    days → transform-min cohort → offset) whose per-(cohort, offset)
+    user counts are EXACT partials because a user never spans blocks;
+    the final exchange is bounded by |cohorts| × |offsets|, not rows."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+
+    def block(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["day"] = df["ts"].dt.floor("D")
+        pairs = df[["user_id", "day"]].drop_duplicates()
+        first = pairs.groupby("user_id")["day"].transform("min")
+        out = (
+            pairs.assign(cohort_day=first, day_offset=(pairs["day"] - first).dt.days.astype("int64"))
+            .groupby(["cohort_day", "day_offset"], as_index=False)
+            .agg(n_users=("user_id", "size"))
+        )
+        out["n_users"] = out["n_users"].astype("int64")
+        # pin us precision: pandas' day floor can downcast the arrow
+        # unit, and the driver hash is timestamp-unit-sensitive
+        out["cohort_day"] = out["cohort_day"].astype("datetime64[us]")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = hash_partitioned_combine(ds, ["user_id"], block, adaptive_partitions(16, n_rows=n))
+    return partials.groupby(["cohort_day", "day_offset"]).aggregate(Sum("n_users", alias_name="n_users"))
+
+
+EVENTS_RETENTION_SQL = """
+WITH pairs AS (SELECT DISTINCT user_id, DATE_TRUNC('day', ts) AS day FROM events),
+f AS (SELECT user_id, MIN(day) AS cohort_day FROM pairs GROUP BY user_id)
+SELECT f.cohort_day, DATE_DIFF('day', f.cohort_day, p.day)::BIGINT AS day_offset,
+       COUNT(*)::BIGINT AS n_users
+FROM pairs p JOIN f USING (user_id)
 GROUP BY 1, 2
 """

@@ -1057,3 +1057,46 @@ class TestDedupSubstrings:
             .to_pandas().set_index("doc_id").sort_index()
         )
         assert forced.equals(out)
+
+
+class TestEventsFunnelRetention:
+    def test_strictly_after_chaining_and_cohorts(self, ray_session, tmp_path):
+        """User A completes the whole funnel in order; user B clicks
+        BEFORE their first view (must not count at step 2); user C only
+        views. Retention: A active on days 0 and 2 of their cohort."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from fancyrag_ray.functions.relational import events_funnel, events_retention
+
+        rows = [
+            # user 1: view -> click -> purchase (all counted)
+            (1, "2024-01-01 10:00", "view"), (1, "2024-01-01 11:00", "click"),
+            (1, "2024-01-03 09:00", "purchase"),
+            # user 2: click at 09:00 precedes first view at 10:00 -> no step 2
+            (2, "2024-01-01 09:00", "click"), (2, "2024-01-01 10:00", "view"),
+            # user 3: view only
+            (3, "2024-01-02 10:00", "view"),
+        ]
+        t = pa.table(
+            {
+                "user_id": [r[0] for r in rows],
+                "ts": pa.array([pd.Timestamp(r[1]) for r in rows], pa.timestamp("us")),
+                "event_type": [r[2] for r in rows],
+                "value": [1.0] * len(rows),
+            }
+        )
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(t, str(d / "events.parquet"))
+
+        f = events_funnel(str(d)).to_pandas().set_index("step").sort_index()
+        assert f.loc[1, "n_users"] == 3
+        assert f.loc[2, "n_users"] == 1  # only user 1
+        assert f.loc[3, "n_users"] == 1
+
+        r = events_retention(str(d)).to_pandas()
+        r = r.set_index([r["cohort_day"].dt.day, "day_offset"])["n_users"]
+        assert r.loc[(1, 0)] == 2        # users 1,2 cohort Jan-1 day 0
+        assert r.loc[(1, 2)] == 1        # user 1 back on day 2
+        assert r.loc[(2, 0)] == 1        # user 3 cohort Jan-2
