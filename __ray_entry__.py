@@ -475,6 +475,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_substrings": D.dedup_substrings,
         "events_funnel": R.events_funnel,
         "events_retention": R.events_retention,
+        "shipping_priority": R.shipping_priority,
+        "part_distinct_suppliers": R.part_distinct_suppliers,
+        "order_status_transitions": R.order_status_transitions,
         "events_sessions_sharded": R.events_sessions_sharded,
         "events_last_order_sharded": TS.events_last_order_sharded,
         "events_rolling_hour_sharded": TS.events_rolling_hour_sharded,
@@ -572,6 +575,12 @@ def oracle_sql() -> dict[str, str]:
         # DATE_DIFF mirror — both all-integer outputs
         "events_funnel": R.EVENTS_FUNNEL_SQL,
         "events_retention": R.EVENTS_RETENTION_SQL,
+        # TPC-H Q3 with INTEGER-EXACT revenue (cents x (100-bp) sums
+        # associate identically on both engines); two-level exact
+        # distinct count; LAG-based categorical transition matrix
+        "shipping_priority": R.SHIPPING_PRIORITY_SQL,
+        "part_distinct_suppliers": R.PART_DISTINCT_SUPPLIERS_SQL,
+        "order_status_transitions": R.ORDER_STATUS_TRANSITIONS_SQL,
         # the time-sharded variants are semantically identical, so they
         # share the unsharded operators' oracles verbatim
         "events_last_order_sharded": R.EVENTS_LAST_ORDER_SQL,

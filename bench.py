@@ -371,6 +371,9 @@ def main() -> None:
             ),
             "events_funnel": timed(R.events_funnel),
             "events_retention": timed(R.events_retention),
+            "shipping_priority": timed(R.shipping_priority),
+            "part_distinct_suppliers": timed(R.part_distinct_suppliers),
+            "order_status_transitions": timed(R.order_status_transitions),
         }
 
     print(json.dumps({

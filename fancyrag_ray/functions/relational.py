@@ -1360,3 +1360,248 @@ SELECT f.cohort_day, DATE_DIFF('day', f.cohort_day, p.day)::BIGINT AS day_offset
 FROM pairs p JOIN f USING (user_id)
 GROUP BY 1, 2
 """
+
+
+def shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                      cutoff: str = "1998-01-01", k: int = 10,
+                      broadcast_join: bool | None = None) -> rd.Dataset:
+    """TPC-H Q3 (shipping priority): top-k unshipped-revenue orders for
+    one market segment — customer ⋈ orders ⋈ lineitem with date
+    predicates pushed to the reads. Revenue is INTEGER-EXACT:
+    prices/discounts are 2-dp by data contract, so
+    ``cents(price) · (100 − bp(discount))`` sums associatively to the
+    identical BIGINT on both engines (no float-sum order sensitivity).
+
+    Scale shape mirrors ``revenue_by_nation``: under the broadcast gate
+    the qualifying (orderkey → orderdate) map ships once via ``ray.put``
+    and lineitem probes it with ``searchsorted`` (the fact table never
+    shuffles); above the gate it is a hash ``Dataset.join``. The final
+    top-k sorts only the per-order aggregate (bounded by qualifying
+    orders, not lineitems)."""
+    import ray
+
+    cut = np.datetime64(cutoff, "us")
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    seg_keys = np.sort(
+        cust.filter(pc.equal(cust.column("c_mktsegment"), segment)).column("c_custkey").to_numpy()
+    )
+
+    def li_filter(t: pa.Table) -> pa.Table:
+        sd = t.column("l_shipdate").cast(pa.timestamp("us")).to_numpy()
+        keep = pa.array(sd > cut)
+        price = t.column("l_extendedprice").filter(keep).to_numpy()
+        disc = t.column("l_discount").filter(keep).to_numpy()
+        cents = np.trunc(price * 100.0 + np.copysign(0.5, price)).astype(np.int64)
+        bp = np.trunc(disc * 100.0 + np.copysign(0.5, disc)).astype(np.int64)
+        return pa.table(
+            {"l_orderkey": t.column("l_orderkey").filter(keep),
+             "rev": pa.array(cents * (100 - bp), pa.int64())}
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]).map_batches(
+        li_filter, batch_format="pyarrow"
+    )
+
+    if broadcast_join is None:
+        n_orders = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+        broadcast_join = n_orders <= BROADCAST_ORDERS_LIMIT
+
+    if broadcast_join:
+        # dimension-map build on the driver, shipped once — the same
+        # gate-and-broadcast shape as revenue_by_nation's orders keymap
+        ot = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        ck = ot.column("o_custkey").to_numpy()
+        od = ot.column("o_orderdate").cast(pa.timestamp("us")).to_numpy().astype("datetime64[us]").astype(np.int64)
+        if len(seg_keys) == 0:
+            ok = np.zeros(len(ck), bool)
+        else:
+            pos = np.clip(np.searchsorted(seg_keys, ck), 0, len(seg_keys) - 1)
+            ok = (seg_keys[pos] == ck) & (od < cut.astype(np.int64))
+        okeys = ot.column("o_orderkey").to_numpy()[ok]
+        odates = od[ok]
+        srt = np.argsort(okeys)
+        keymap_ref = ray.put((okeys[srt], odates[srt]))
+
+        def partial(t: pa.Table) -> pa.Table:
+            keys_sorted, dates_us = ray.get(keymap_ref)
+            lk = t.column("l_orderkey").to_numpy()
+            if len(keys_sorted) == 0:
+                return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                                 "date_us": pa.array([], pa.int64()),
+                                 "rev": pa.array([], pa.int64())})
+            pos = np.clip(np.searchsorted(keys_sorted, lk), 0, len(keys_sorted) - 1)
+            ok = keys_sorted[pos] == lk
+            pt = pa.table(
+                {"o_orderkey": pa.array(lk[ok]), "date_us": pa.array(dates_us[pos[ok]]),
+                 "rev": t.column("rev").filter(pa.array(ok))}
+            )
+            g = pt.group_by(["o_orderkey", "date_us"]).aggregate([("rev", "sum")])
+            return g.rename_columns(["o_orderkey", "date_us", "rev"])
+
+        agg = li.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    else:
+        def order_filter(t: pa.Table) -> pa.Table:
+            ck = t.column("o_custkey").to_numpy()
+            od = t.column("o_orderdate").cast(pa.timestamp("us")).to_numpy()
+            if len(seg_keys) == 0:
+                ok = np.zeros(len(ck), bool)
+            else:
+                pos = np.clip(np.searchsorted(seg_keys, ck), 0, len(seg_keys) - 1)
+                ok = (seg_keys[pos] == ck) & (od < cut)
+            return pa.table(
+                {"o_orderkey": t.column("o_orderkey").filter(pa.array(ok)),
+                 "o_orderdate": t.column("o_orderdate").cast(pa.timestamp("us")).filter(pa.array(ok))}
+            )
+
+        orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+            order_filter, batch_format="pyarrow"
+        )
+        joined = li.join(
+            orders, join_type="inner",
+            num_partitions=adaptive_partitions(16),
+            on=("l_orderkey",), right_on=("o_orderkey",),
+        )
+
+        def partial_joined(t: pa.Table) -> pa.Table:
+            pt = pa.table(
+                {"o_orderkey": t.column("l_orderkey"),
+                 "date_us": t.column("o_orderdate").cast(pa.timestamp("us")).cast(pa.int64()),
+                 "rev": t.column("rev")}
+            )
+            g = pt.group_by(["o_orderkey", "date_us"]).aggregate([("rev", "sum")])
+            return g.rename_columns(["o_orderkey", "date_us", "rev"])
+
+        agg = joined.map_batches(partial_joined, batch_format="pyarrow", batch_size=None)
+
+    out = (
+        agg.groupby(["o_orderkey", "date_us"])
+        .aggregate(Sum("rev", alias_name="revenue_c100"))
+        .map_batches(
+            lambda t: pa.table(
+                {"o_orderkey": t.column("o_orderkey"),
+                 "revenue_c100": t.column("revenue_c100"),
+                 "o_orderdate": t.column("date_us").cast(pa.timestamp("us"))}
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["revenue_c100", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )
+    return out
+
+
+SHIPPING_PRIORITY_SQL = """
+SELECT l.l_orderkey AS o_orderkey,
+       SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS revenue_c100,
+       o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY 1, 3
+ORDER BY revenue_c100 DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def part_distinct_suppliers(sf_dir: str) -> rd.Dataset:
+    """Distinct-count at scale (TPC-H Q16 shape over the tables we
+    have): suppliers per part brand from lineitem, plus the lineitem
+    volume. Two-level exact distinct: per-batch (brand, suppkey) partial
+    counts → one hash combine keyed by the PAIR (exchange bounded by
+    |brands| × |suppliers|, not lineitems) → per-brand pair-count /
+    count-sum rollup. The part→brand dimension map broadcasts once
+    (``ray.put`` + ``searchsorted``), the fact table never shuffles raw."""
+    import ray
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    pk = part.column("p_partkey").to_numpy()
+    srt = np.argsort(pk)
+    brands = np.asarray(part.column("p_brand").to_pylist(), dtype=object)[srt]
+    map_ref = ray.put((pk[srt], brands))
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys_sorted, brand_arr = ray.get(map_ref)
+        lp = t.column("l_partkey").to_numpy()
+        pos = np.clip(np.searchsorted(keys_sorted, lp), 0, len(keys_sorted) - 1)
+        ok = keys_sorted[pos] == lp
+        pt = pa.table(
+            {"p_brand": pa.array(brand_arr[pos[ok]], pa.string()),
+             "l_suppkey": t.column("l_suppkey").filter(pa.array(ok)),
+             "ones": pa.array(np.ones(int(ok.sum()), np.int64))}
+        )
+        g = pt.group_by(["p_brand", "l_suppkey"]).aggregate([("ones", "sum")])
+        return g.rename_columns(["p_brand", "l_suppkey", "n"])
+
+    def pair_combine(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["p_brand", "l_suppkey"]).aggregate([("n", "sum")])
+            .rename_columns(["p_brand", "l_suppkey", "n"])
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    n_li = pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows
+    pairs = hash_partitioned_combine(
+        li.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["p_brand", "l_suppkey"], pair_combine, adaptive_partitions(16, n_rows=n_li),
+    )
+
+    def brand_partial(t: pa.Table) -> pa.Table:
+        pt = pa.table(
+            {"p_brand": t.column("p_brand"),
+             "pair": pa.array(np.ones(t.num_rows, np.int64)),
+             "n": t.column("n")}
+        )
+        g = pt.group_by(["p_brand"]).aggregate([("pair", "sum"), ("n", "sum")])
+        return g.rename_columns(["p_brand", "n_suppliers", "n_lineitems"])
+
+    return (
+        pairs.map_batches(brand_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("p_brand")
+        .aggregate(Sum("n_suppliers", alias_name="n_suppliers"), Sum("n_lineitems", alias_name="n_lineitems"))
+    )
+
+
+PART_DISTINCT_SUPPLIERS_SQL = """
+SELECT p.p_brand, COUNT(DISTINCT l.l_suppkey)::BIGINT AS n_suppliers, COUNT(*)::BIGINT AS n_lineitems
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+"""
+
+
+def order_status_transitions(sf_dir: str) -> rd.Dataset:
+    """Markov transition counts over each customer's order-status
+    SEQUENCE (ordered by date, then key): (prev_status → status) pair
+    frequencies — the categorical sibling of ``events_value_delta``'s
+    LAG. One hash co-partition by customer, per-block vectorized
+    sort/shift/group (no per-customer Python), final exchange bounded by
+    |statuses|²."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus"])
+    n = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+
+    def block(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        prev = df.groupby("o_custkey")["o_orderstatus"].shift()
+        pairs = pd.DataFrame({"prev_status": prev, "status": df["o_orderstatus"]}).dropna()
+        out = pairs.groupby(["prev_status", "status"], as_index=False).size().rename(columns={"size": "n"})
+        out["n"] = out["n"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = hash_partitioned_combine(ds, ["o_custkey"], block, adaptive_partitions(16, n_rows=n))
+    return partials.groupby(["prev_status", "status"]).aggregate(Sum("n", alias_name="n"))
+
+
+ORDER_STATUS_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT o_custkey,
+         LAG(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_status,
+         o_orderstatus AS status
+  FROM orders
+)
+SELECT prev_status, status, COUNT(*)::BIGINT AS n
+FROM seq WHERE prev_status IS NOT NULL GROUP BY 1, 2
+"""

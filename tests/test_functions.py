@@ -1100,3 +1100,23 @@ class TestEventsFunnelRetention:
         assert r.loc[(1, 0)] == 2        # users 1,2 cohort Jan-1 day 0
         assert r.loc[(1, 2)] == 1        # user 1 back on day 2
         assert r.loc[(2, 0)] == 1        # user 3 cohort Jan-2
+
+
+class TestShippingPriorityTiers:
+    def test_broadcast_equals_join_tier(self, ray_session):
+        """TPC-H Q3: the gated broadcast keymap path and the hash-join
+        scale path must produce identical rows (integer-exact revenue
+        makes this bit-comparable)."""
+        SF = "/root/testdata/sf0.001"
+        from fancyrag_ray.functions.relational import shipping_priority
+
+        a = shipping_priority(SF, broadcast_join=True).to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+        b = shipping_priority(SF, broadcast_join=False).to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+        assert len(a) == 10
+        assert (a.astype(str) == b.astype(str)).all().all()
+
+    def test_empty_segment_is_empty(self, ray_session):
+        from fancyrag_ray.functions.relational import shipping_priority
+
+        out = shipping_priority("/root/testdata/sf0.001", segment="NO_SUCH_SEGMENT")
+        assert out.count() == 0
