@@ -478,6 +478,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": R.shipping_priority,
         "part_distinct_suppliers": R.part_distinct_suppliers,
         "order_status_transitions": R.order_status_transitions,
+        "entity_clustering_coefficient": lambda sf: __import__(
+            "fancyrag_ray.functions.graph", fromlist=["g"]
+        ).entity_clustering_coefficient(sf),
+        "entity_bfs_distances": lambda sf: __import__(
+            "fancyrag_ray.functions.graph", fromlist=["g"]
+        ).entity_bfs_distances(sf),
         "events_sessions_sharded": R.events_sessions_sharded,
         "events_last_order_sharded": TS.events_last_order_sharded,
         "events_rolling_hour_sharded": TS.events_rolling_hour_sharded,
@@ -581,6 +587,11 @@ def oracle_sql() -> dict[str, str]:
         "shipping_priority": R.SHIPPING_PRIORITY_SQL,
         "part_distinct_suppliers": R.PART_DISTINCT_SUPPLIERS_SQL,
         "order_status_transitions": R.ORDER_STATUS_TRANSITIONS_SQL,
+        # global clustering coefficient as all-integer floor(3T·10^6/W)
+        # through the flagship CTE; depth-capped BFS distances vs a
+        # recursive-CTE MIN(d) — the iterative family's 2nd exact oracle
+        "entity_clustering_coefficient": G.entity_clustering_coefficient_sql(),
+        "entity_bfs_distances": G.entity_bfs_distances_sql(),
         # the time-sharded variants are semantically identical, so they
         # share the unsharded operators' oracles verbatim
         "events_last_order_sharded": R.EVENTS_LAST_ORDER_SQL,

@@ -374,6 +374,12 @@ def main() -> None:
             "shipping_priority": timed(R.shipping_priority),
             "part_distinct_suppliers": timed(R.part_distinct_suppliers),
             "order_status_transitions": timed(R.order_status_transitions),
+            "entity_clustering_coefficient": timed(
+                __import__("fancyrag_ray.functions.graph", fromlist=["g"]).entity_clustering_coefficient
+            ),
+            "entity_bfs_distances": timed(
+                __import__("fancyrag_ray.functions.graph", fromlist=["g"]).entity_bfs_distances
+            ),
         }
 
     print(json.dumps({

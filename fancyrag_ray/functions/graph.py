@@ -33,7 +33,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Count, Min, Sum
 
 from ..util import (
     adaptive_partitions,
@@ -966,3 +966,181 @@ def entity_common_neighbors_sql() -> str:
     from .textops import KG_FLAGSHIP_EDGES_SQL
 
     return ENTITY_COMMON_NEIGHBORS_SQL_TEMPLATE.format(edges_sql=KG_FLAGSHIP_EDGES_SQL)
+
+
+def entity_clustering_coefficient(sf_dir: str) -> rd.Dataset:
+    """GLOBAL clustering coefficient of the flagship KG — triangles vs
+    wedges, the standard graph-cohesion summary: one row
+    (n_triangles, n_wedges, clustering_micro_floor) where the
+    coefficient is the all-integer floor of ``3·T·10⁶ / W`` (both
+    operands exact BIGINTs, so the mirror is hash-exact with no float
+    division). Triangle side reuses ``triangle_counts`` (degree-oriented
+    wedge check, each triangle credited to 3 corners → ΣnT = 3T);
+    wedge side is the normalized simple graph's Σ d·(d−1)/2 with
+    per-block degree partials."""
+    edges = _flagship_edges(sf_dir)
+
+    def norm_partial(t: pa.Table) -> pa.Table:
+        a = pc.min_element_wise(t.column("src_id"), t.column("dst_id"))
+        b = pc.max_element_wise(t.column("src_id"), t.column("dst_id"))
+        keep = pc.invert(pc.equal(a, b))
+        return (
+            pa.table({"a": a.filter(keep), "b": b.filter(keep)})
+            .group_by(["a", "b"]).aggregate([])
+        )
+
+    norm = hash_partitioned_combine(
+        edges.map_batches(norm_partial, batch_format="pyarrow", batch_size=None),
+        ["a", "b"], lambda t: t.group_by(["a", "b"]).aggregate([]), adaptive_partitions(8),
+    ).materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        nodes = pa.chunked_array([t.column("a").combine_chunks(), t.column("b").combine_chunks()])
+        g = pa.table({"node": nodes}).group_by(["node"]).aggregate([([], "count_all")])
+        return g.rename_columns(["node", "d"])
+
+    deg = hash_partitioned_combine(
+        norm.map_batches(deg_partial, batch_format="pyarrow", batch_size=None),
+        ["node"], lambda t: t.group_by(["node"]).aggregate([("d", "sum")]).rename_columns(["node", "d"]),
+        adaptive_partitions(8),
+    )
+
+    def wedge_partial(t: pa.Table) -> pa.Table:
+        d = t.column("d").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"w": pa.array([int((d * (d - 1) // 2).sum())], pa.int64())})
+
+    w_row = deg.map_batches(wedge_partial, batch_format="pyarrow", batch_size=None).aggregate(
+        Sum("w", alias_name="w")
+    )
+    n_wedges = int(w_row["w"] or 0)
+
+    tri = triangle_counts(edges)
+    t_row = tri.aggregate(Sum("n_triangles", alias_name="t3"))
+    t3 = int(t_row["t3"] or 0)  # ΣnT = 3·T
+
+    micro = (t3 * 1_000_000) // n_wedges if n_wedges > 0 else 0
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_triangles": pa.array([t3 // 3], pa.int64()),
+                "n_wedges": pa.array([n_wedges], pa.int64()),
+                "clustering_micro_floor": pa.array([micro], pa.int64()),
+            }
+        )
+    )
+
+
+ENTITY_CLUSTERING_SQL_TEMPLATE = """
+WITH edges AS ({edges_sql}),
+norm AS (
+  SELECT LEAST(src_id, dst_id) AS a, GREATEST(src_id, dst_id) AS b
+  FROM edges WHERE src_id <> dst_id GROUP BY 1, 2
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM norm e1
+  JOIN norm e2 ON e2.a = e1.b
+  JOIN norm e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+deg AS (
+  SELECT node, COUNT(*)::BIGINT AS d
+  FROM (SELECT a AS node FROM norm UNION ALL SELECT b FROM norm)
+  GROUP BY node
+),
+w AS (SELECT COALESCE(SUM(d * (d - 1) // 2), 0)::BIGINT AS n_wedges FROM deg),
+t AS (SELECT COUNT(*)::BIGINT AS n_triangles FROM tri)
+SELECT t.n_triangles, w.n_wedges,
+       CASE WHEN w.n_wedges > 0
+            THEN (3 * t.n_triangles * 1000000) // w.n_wedges ELSE 0 END AS clustering_micro_floor
+FROM t, w
+"""
+
+
+def entity_clustering_coefficient_sql() -> str:
+    from .textops import KG_FLAGSHIP_EDGES_SQL
+
+    return ENTITY_CLUSTERING_SQL_TEMPLATE.format(edges_sql=KG_FLAGSHIP_EDGES_SQL)
+
+
+def entity_bfs_distances(sf_dir: str, max_depth: int = 8) -> rd.Dataset:
+    """Single-source BFS shortest-path distances over the flagship KG
+    (source = the globally minimal node id, depth-capped) — the
+    iterative-frontier graph primitive (Pregel superstep shape), and the
+    iterative family's SECOND hash-exact oracle after integer PageRank:
+    distances are small exact integers, mirrored by a depth-capped
+    recursive CTE with MIN(d) per node.
+
+    Per superstep the EDGES stay distributed: the frontier ships once
+    (``ray.put``) and every adjacency block is probed with one
+    vectorized ``pc.is_in``; only the frontier's DISTINCT neighbor set
+    returns to the driver (``Dataset.unique``). Frontier + visited state
+    is O(nodes) on the driver — the same documented bound as
+    :func:`pagerank`'s broadcast tier and the canonicalizer's
+    contraction tier. (A join-per-superstep variant would avoid the
+    driver state, but Ray's hash-join cannot currently consume the
+    SCHEMA-LESS empty blocks its own shuffles emit, so the broadcast
+    tier is also the robust one.)"""
+    edges = _flagship_edges(sf_dir)
+
+    def und_partial(t: pa.Table) -> pa.Table:
+        a, b = t.column("src_id"), t.column("dst_id")
+        keep = pc.invert(pc.equal(a, b))
+        fwd = pa.table({"a": a.filter(keep), "b": b.filter(keep)})
+        rev = pa.table({"a": b.filter(keep), "b": a.filter(keep)})
+        return pa.concat_tables([fwd, rev]).group_by(["a", "b"]).aggregate([])
+
+    und = edges.map_batches(und_partial, batch_format="pyarrow", batch_size=None).materialize()
+    src_row = und.aggregate(Min("a", alias_name="m"))
+    source = None if src_row is None else src_row.get("m")
+    if source is None:
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.string()), "dist": pa.array([], pa.int64())})
+        )
+    node_type = und.schema().types[0]
+
+    visited: dict = {source: 0}
+    frontier = [source]
+    for d in range(1, max_depth + 1):
+        f_ref = ray.put(pa.array(frontier, node_type))
+
+        def probe(t: pa.Table) -> pa.Table:
+            hit = pc.is_in(t.column("a"), value_set=ray.get(f_ref))
+            return pa.table({"b": pc.unique(t.column("b").filter(hit))})
+
+        cand = und.map_batches(probe, batch_format="pyarrow", batch_size=None).unique("b")
+        new = [n for n in cand if n not in visited]
+        if not new:
+            break
+        for n in new:
+            visited[n] = d
+        frontier = new
+
+    return rd.from_arrow(
+        pa.table(
+            {"node": pa.array(list(visited.keys()), node_type),
+             "dist": pa.array(list(visited.values()), pa.int64())}
+        )
+    )
+
+
+ENTITY_BFS_SQL_TEMPLATE = """
+WITH RECURSIVE edges AS ({edges_sql}),
+und AS (
+  SELECT src_id AS a, dst_id AS b FROM edges WHERE src_id <> dst_id
+  UNION
+  SELECT dst_id AS a, src_id AS b FROM edges WHERE src_id <> dst_id
+),
+src AS (SELECT MIN(a) AS s FROM und),
+walk(node, d) AS (
+  SELECT s, 0 FROM src
+  UNION
+  SELECT u.b, w.d + 1 FROM walk w JOIN und u ON u.a = w.node WHERE w.d < {max_depth}
+)
+SELECT node, MIN(d)::BIGINT AS dist FROM walk GROUP BY node
+"""
+
+
+def entity_bfs_distances_sql(max_depth: int = 8) -> str:
+    from .textops import KG_FLAGSHIP_EDGES_SQL
+
+    return ENTITY_BFS_SQL_TEMPLATE.format(edges_sql=KG_FLAGSHIP_EDGES_SQL, max_depth=max_depth)

@@ -288,3 +288,50 @@ class TestFingerprintQuery:
         # sub-window doc uses all its words
         sw = hashlib.md5(b"short words").hexdigest()[:16]
         assert out.loc[2, "fingerprint"] == sw
+
+
+class TestClusteringAndBfs:
+    def test_clustering_on_known_graph(self, ray_session):
+        """Square + one diagonal: 2 triangles, degrees (3,3,2,2) ->
+        wedges 3+3+1+1=8, coefficient = 6/8 = 0.75."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from fancyrag_ray.functions.graph import triangle_counts
+
+        edges = rd.from_arrow(pa.table({
+            "src_id": ["a", "b", "c", "d", "a"],
+            "dst_id": ["b", "c", "d", "a", "c"],
+        }))
+        tri = triangle_counts(edges).to_pandas()
+        assert tri["n_triangles"].sum() == 6  # 2 triangles x 3 corners
+
+    def test_bfs_distances_chain(self, ray_session, tmp_path, monkeypatch):
+        """Chain a-b-c plus isolated pair d-e: distances from the min
+        node 'a' are 0,1,2; d/e unreachable and absent."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        import fancyrag_ray.functions.graph as G
+
+        edges = rd.from_arrow(pa.table({
+            "src_id": ["a", "b", "d"],
+            "dst_id": ["b", "c", "e"],
+        })).materialize()
+        monkeypatch.setattr(G, "_flagship_edges", lambda sf: edges)
+        out = G.entity_bfs_distances("unused").to_pandas().set_index("node")["dist"]
+        assert out.to_dict() == {"a": 0, "b": 1, "c": 2}
+
+    def test_bfs_depth_cap(self, ray_session, monkeypatch):
+        import pyarrow as pa
+        import ray.data as rd
+
+        import fancyrag_ray.functions.graph as G
+
+        edges = rd.from_arrow(pa.table({
+            "src_id": ["a", "b", "c"],
+            "dst_id": ["b", "c", "d"],
+        })).materialize()
+        monkeypatch.setattr(G, "_flagship_edges", lambda sf: edges)
+        out = G.entity_bfs_distances("unused", max_depth=2).to_pandas()
+        assert set(out["node"]) == {"a", "b", "c"}  # 'd' is beyond the cap
