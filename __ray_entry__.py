@@ -478,6 +478,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": R.shipping_priority,
         "part_distinct_suppliers": R.part_distinct_suppliers,
         "order_status_transitions": R.order_status_transitions,
+        "events_value_by_segment": lambda sf: __import__(
+            "fancyrag_ray.functions.autoshard", fromlist=["a"]
+        ).events_value_by_segment(sf),
         "entity_clustering_coefficient": lambda sf: __import__(
             "fancyrag_ray.functions.graph", fromlist=["g"]
         ).entity_clustering_coefficient(sf),
@@ -587,6 +590,10 @@ def oracle_sql() -> dict[str, str]:
         "shipping_priority": R.SHIPPING_PRIORITY_SQL,
         "part_distinct_suppliers": R.PART_DISTINCT_SUPPLIERS_SQL,
         "order_status_transitions": R.ORDER_STATUS_TRANSITIONS_SQL,
+        # skew-safe salted join demo query (micro-integer value sums)
+        "events_value_by_segment": __import__(
+            "fancyrag_ray.functions.autoshard", fromlist=["a"]
+        ).EVENTS_VALUE_BY_SEGMENT_SQL,
         # global clustering coefficient as all-integer floor(3T·10^6/W)
         # through the flagship CTE; depth-capped BFS distances vs a
         # recursive-CTE MIN(d) — the iterative family's 2nd exact oracle

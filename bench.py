@@ -380,6 +380,9 @@ def main() -> None:
             "entity_bfs_distances": timed(
                 __import__("fancyrag_ray.functions.graph", fromlist=["g"]).entity_bfs_distances
             ),
+            "events_value_by_segment": timed(
+                __import__("fancyrag_ray.functions.autoshard", fromlist=["a"]).events_value_by_segment
+            ),
         }
 
     print(json.dumps({

@@ -176,3 +176,134 @@ def keyed_running_total_auto(
         ds, by=by, order=order, value_col=value_col, out_col=out_col,
         num_partitions=num_partitions,
     )
+
+
+def hot_keys(ds: rd.Dataset, key: str, threshold: int) -> list:
+    """The distinct ``key`` values with more than ``threshold`` rows —
+    the skew SET (vs ``max_key_rows``' scalar). Same partial-first
+    count plan; only the > threshold survivors (≤ rows/threshold of
+    them by construction, so always driver-safe) are collected."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([key]).group_by([key]).aggregate([([], "count_all")])
+        return g.rename_columns([key, "n"])
+
+    import pyarrow.compute as pc
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(key)
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater(t.column("n"), pa.scalar(threshold, pa.int64()))).select([key]),
+        batch_format="pyarrow",
+    )
+    return hot.unique(key)
+
+
+def salted_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_key: str,
+    right_key: str,
+    n_salts: int = 16,
+    hot_threshold: int = HOT_KEY_THRESHOLD_ROWS,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Skew-safe inner hash join — the JOIN-side sibling of the
+    time-sharded window family: Ray's hash join sends every row of a
+    key to ONE aggregator, so a bot-scale hot key is a straggler/OOM.
+    Here the ``hot_keys`` probe finds the > threshold keys; hot LEFT
+    rows spread across ``n_salts`` sub-keys (position % n_salts inside
+    each block), matching RIGHT rows replicate once per salt, cold keys
+    ride salt 0 with no replication — then one ordinary hash join on
+    (key, salt). Result rows are EXACTLY the plain join's (salting is
+    an implementation detail), which is what the planted hot-key test
+    and the SQL mirror of any query built on this assert."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    from ..util import adaptive_partitions
+
+    hot = hot_keys(left, left_key, hot_threshold)
+    if not hot:
+        return left.join(
+            right, join_type="inner",
+            num_partitions=num_partitions or adaptive_partitions(16),
+            on=(left_key,), right_on=(right_key,),
+        )
+    key_type = dict(zip(left.schema().names, left.schema().types))[left_key]
+    hot_ref = ray.put(pa.array(hot, key_type))
+
+    def salt_left(t: pa.Table) -> pa.Table:
+        is_hot = pc.is_in(t.column(left_key), value_set=ray.get(hot_ref)).to_numpy(zero_copy_only=False)
+        salt = np.zeros(t.num_rows, np.int64)
+        salt[is_hot] = np.arange(int(is_hot.sum())) % n_salts
+        return t.append_column("__salt", pa.array(salt))
+
+    def replicate_right(t: pa.Table) -> pa.Table:
+        is_hot = pc.is_in(t.column(right_key), value_set=ray.get(hot_ref)).to_numpy(zero_copy_only=False)
+        cold = t.filter(pa.array(~is_hot)).append_column(
+            "__salt", pa.array(np.zeros(int((~is_hot).sum()), np.int64))
+        )
+        hot_t = t.filter(pa.array(is_hot))
+        reps = [
+            hot_t.append_column("__salt", pa.array(np.full(hot_t.num_rows, s, np.int64)))
+            for s in range(n_salts)
+        ]
+        return pa.concat_tables([cold, *reps])
+
+    ls = left.map_batches(salt_left, batch_format="pyarrow")
+    rs = right.map_batches(replicate_right, batch_format="pyarrow")
+    out = ls.join(
+        rs, join_type="inner",
+        num_partitions=num_partitions or adaptive_partitions(16),
+        on=(left_key, "__salt"), right_on=(right_key, "__salt"),
+    )
+    return out.drop_columns(["__salt"])
+
+
+def events_value_by_segment(sf_dir: str) -> rd.Dataset:
+    """events ⋈ customer (user_id = c_custkey) rolled up by market
+    segment, through :func:`salted_join` — the hot-key probe runs on the
+    real fact table (no hot user in the driver data ⇒ plain hash join;
+    the planted-hot-key test drives the salted path). The value sum is
+    per-row micro-integer (``round(value·10⁶)`` BIGINT) so the mirror is
+    hash-exact regardless of float summation order."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as _rd
+
+    from ..util import adaptive_partitions
+
+    events = _rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    cust = _rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    joined = salted_join(events, cust, "user_id", "c_custkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        micro = np.trunc(v * 1e6 + np.copysign(0.5, v)).astype(np.int64)
+        pt = pa.table(
+            {"c_mktsegment": t.column("c_mktsegment"),
+             "ones": pa.array(np.ones(t.num_rows, np.int64)),
+             "v": pa.array(micro)}
+        )
+        g = pt.group_by(["c_mktsegment"]).aggregate([("ones", "sum"), ("v", "sum")])
+        return g.rename_columns(["c_mktsegment", "n_events", "sum_value_micro"])
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("c_mktsegment")
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_value_micro", alias_name="sum_value_micro"))
+    )
+
+
+EVENTS_VALUE_BY_SEGMENT_SQL = """
+SELECT c.c_mktsegment, COUNT(*)::BIGINT AS n_events,
+       SUM(CAST(ROUND(e.value * 1000000) AS BIGINT))::BIGINT AS sum_value_micro
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+"""

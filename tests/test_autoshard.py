@@ -189,3 +189,34 @@ class TestResultEquality:
             ).to_pandas()
 
         assert _norm(run_rt(1)).astype(str).equals(_norm(run_rt(10**9)).astype(str))
+
+
+class TestSaltedJoin:
+    def test_hot_key_salted_equals_plain(self, ray_session):
+        """A planted 1000-row hot key must produce EXACTLY the plain
+        join's rows through the salted path (salting is invisible)."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from fancyrag_ray.functions.autoshard import salted_join
+
+        left = rd.from_arrow(pa.table({"k": [1] * 1000 + [2, 3, 4], "x": list(range(1003))}))
+        right = rd.from_arrow(pa.table({"rk": [1, 1, 2, 3, 5], "y": [10, 11, 20, 30, 50]}))
+        s = salted_join(left, right, "k", "rk", n_salts=4, hot_threshold=100).to_pandas()
+        p = left.join(right, join_type="inner", num_partitions=4, on=("k",), right_on=("rk",)).to_pandas()
+        cols = sorted(s.columns)
+        s = s[cols].sort_values(cols).reset_index(drop=True)
+        p = p[cols].sort_values(cols).reset_index(drop=True)
+        assert len(s) == 2002  # 1000 hot x 2 matches + 2 cold
+        assert s.equals(p)
+
+    def test_no_hot_key_passthrough(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from fancyrag_ray.functions.autoshard import salted_join
+
+        left = rd.from_arrow(pa.table({"k": [1, 2, 3], "x": [1, 2, 3]}))
+        right = rd.from_arrow(pa.table({"rk": [2, 3, 4], "y": [20, 30, 40]}))
+        out = salted_join(left, right, "k", "rk").to_pandas()
+        assert sorted(out["k"]) == [2, 3]
