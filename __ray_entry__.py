@@ -481,6 +481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_by_segment": lambda sf: __import__(
             "fancyrag_ray.functions.autoshard", fromlist=["a"]
         ).events_value_by_segment(sf),
+        "events_peak_window": R.events_peak_window,
         "entity_clustering_coefficient": lambda sf: __import__(
             "fancyrag_ray.functions.graph", fromlist=["g"]
         ).entity_clustering_coefficient(sf),
@@ -590,6 +591,8 @@ def oracle_sql() -> dict[str, str]:
         "shipping_priority": R.SHIPPING_PRIORITY_SQL,
         "part_distinct_suppliers": R.PART_DISTINCT_SUPPLIERS_SQL,
         "order_status_transitions": R.ORDER_STATUS_TRANSITIONS_SQL,
+        # row-filter PUSHDOWN at the parquet read (read_parquet(filter=))
+        "events_peak_window": R.EVENTS_PEAK_WINDOW_SQL,
         # skew-safe salted join demo query (micro-integer value sums)
         "events_value_by_segment": __import__(
             "fancyrag_ray.functions.autoshard", fromlist=["a"]

@@ -383,6 +383,7 @@ def main() -> None:
             "events_value_by_segment": timed(
                 __import__("fancyrag_ray.functions.autoshard", fromlist=["a"]).events_value_by_segment
             ),
+            "events_peak_window": timed(R.events_peak_window),
         }
 
     print(json.dumps({

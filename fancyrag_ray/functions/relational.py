@@ -1605,3 +1605,44 @@ WITH seq AS (
 SELECT prev_status, status, COUNT(*)::BIGINT AS n
 FROM seq WHERE prev_status IS NOT NULL GROUP BY 1, 2
 """
+
+
+def events_peak_window(sf_dir: str, lo: str = "2024-01-10", hi: str = "2024-01-12") -> rd.Dataset:
+    """Time-window rollup with the predicate pushed INTO the parquet
+    read (``read_parquet(filter=...)``): row groups whose ts-range
+    statistics miss the window never leave storage — the 'prune at the
+    read' discipline made visible as a driver query (elsewhere the
+    engine prunes columns; this is the row-filter half). Value sums are
+    per-row micro-integers for a hash-exact mirror."""
+    expr = (pc.field("ts") >= pa.scalar(np.datetime64(lo, "us"))) & (
+        pc.field("ts") < pa.scalar(np.datetime64(hi, "us"))
+    )
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"], filter=expr
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        micro = np.trunc(v * 1e6 + np.copysign(0.5, v)).astype(np.int64)
+        pt = pa.table(
+            {"event_type": t.column("event_type"),
+             "ones": pa.array(np.ones(t.num_rows, np.int64)),
+             "v": pa.array(micro)}
+        )
+        g = pt.group_by(["event_type"]).aggregate([("ones", "sum"), ("v", "sum")])
+        return g.rename_columns(["event_type", "n_events", "sum_value_micro"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("event_type")
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_value_micro", alias_name="sum_value_micro"))
+    )
+
+
+EVENTS_PEAK_WINDOW_SQL = """
+SELECT event_type, COUNT(*)::BIGINT AS n_events,
+       SUM(CAST(ROUND(value * 1000000) AS BIGINT))::BIGINT AS sum_value_micro
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12'
+GROUP BY 1
+"""
