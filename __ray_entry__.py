@@ -482,6 +482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "fancyrag_ray.functions.autoshard", fromlist=["a"]
         ).events_value_by_segment(sf),
         "events_peak_window": R.events_peak_window,
+        "events_props_stats": R.events_props_stats,
         "entity_clustering_coefficient": lambda sf: __import__(
             "fancyrag_ray.functions.graph", fromlist=["g"]
         ).entity_clustering_coefficient(sf),
@@ -593,6 +594,8 @@ def oracle_sql() -> dict[str, str]:
         "order_status_transitions": R.ORDER_STATUS_TRANSITIONS_SQL,
         # row-filter PUSHDOWN at the parquet read (read_parquet(filter=))
         "events_peak_window": R.EVENTS_PEAK_WINDOW_SQL,
+        # JSON-payload field extraction via one RE2 capture per batch
+        "events_props_stats": R.EVENTS_PROPS_STATS_SQL,
         # skew-safe salted join demo query (micro-integer value sums)
         "events_value_by_segment": __import__(
             "fancyrag_ray.functions.autoshard", fromlist=["a"]

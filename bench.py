@@ -384,6 +384,7 @@ def main() -> None:
                 __import__("fancyrag_ray.functions.autoshard", fromlist=["a"]).events_value_by_segment
             ),
             "events_peak_window": timed(R.events_peak_window),
+            "events_props_stats": timed(R.events_props_stats),
         }
 
     print(json.dumps({

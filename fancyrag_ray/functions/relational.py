@@ -26,7 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Max, Sum
 
 from ..util import adaptive_partitions, hash_partitioned_combine
 
@@ -1645,4 +1645,52 @@ SELECT event_type, COUNT(*)::BIGINT AS n_events,
 FROM events
 WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12'
 GROUP BY 1
+"""
+
+
+def events_props_stats(sf_dir: str) -> rd.Dataset:
+    """Semi-structured payload extraction — the JSON-column staple: pull
+    the integer ``k`` field out of the ``props`` JSON string with ONE
+    vectorized RE2 capture (``pc.extract_regex``) per batch — no JSON
+    parser, no per-row Python — and roll up count/sum/max per event
+    type. DuckDB mirrors with the same RE2 via ``regexp_extract(...,
+    1)``, so the all-integer output is hash-exact. (A nested-schema
+    corpus would swap the regex for Arrow's struct columns; the Ray
+    plumbing — extract inside map_batches, partial-first rollup — is
+    identical.)"""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        # Arrow's extract_regex requires NAMED groups; DuckDB's mirror
+        # uses the equivalent unnamed group 1 — same RE2 semantics
+        ex = pc.extract_regex(pc.coalesce(t.column("props"), pa.scalar("")), r'"k":\s*(?P<k>\d+)')
+        vals = pc.struct_field(ex, "k")
+        ok = pc.is_valid(vals)
+        k = pc.cast(pc.fill_null(vals, "0"), pa.int64())
+        pt = pa.table(
+            {"event_type": t.column("event_type").filter(ok),
+             "k": k.filter(ok),
+             "ones": pa.array(np.ones(int(pc.sum(pc.cast(ok, pa.int64())).as_py() or 0), np.int64))}
+        )
+        g = pt.group_by(["event_type"]).aggregate([("ones", "sum"), ("k", "sum"), ("k", "max")])
+        return g.rename_columns(["event_type", "n_events", "sum_k", "max_k"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_k", alias_name="sum_k"),
+            Max("max_k", alias_name="max_k"),
+        )
+    )
+
+
+EVENTS_PROPS_STATS_SQL = """
+WITH x AS (
+  SELECT event_type, TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, COUNT(*)::BIGINT AS n_events, SUM(k)::BIGINT AS sum_k, MAX(k) AS max_k
+FROM x WHERE k IS NOT NULL GROUP BY 1
 """
