@@ -830,3 +830,46 @@ WHERE dt.tok <> v.term AND levenshtein(dt.tok, v.term) <= {max_dist}
 
 
 FUZZY_TERM_MATCHES_SQL = _fuzzy_term_matches_sql()
+
+
+def sample_per_source(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """Deterministic PER-GROUP sampling — "show me k docs from every
+    source", the inspection/debug primitive of a data pipeline: rank
+    docs inside each source by md5(doc_id) (engine-independent
+    pseudo-random order, same idiom as ``sample_documents_hash``) and
+    keep the first k. Runs through :func:`analytics.grouped_topk`
+    (per-block partial prune → one co-partition shuffle of ≤ k·blocks
+    rows per group), so it is the grouped-top-N machinery under a
+    sampling order rather than a value order."""
+    from ..util import adaptive_partitions
+    from .analytics import grouped_topk
+
+    ds = _read_docs(sf_dir, ["doc_id", "source", "n_chars"])
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+
+    def add_key(t: pa.Table) -> pa.Table:
+        keys = [hashlib.md5(str(d).encode()).hexdigest()[:16] for d in t.column("doc_id").to_pylist()]
+        return t.append_column("hkey", pa.array(keys, pa.string()))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    top = grouped_topk(
+        keyed, by="source", order_col="hkey", k=k, tiebreak="doc_id",
+        descending=False, num_partitions=adaptive_partitions(16, n_rows=n),
+    )
+    return top.drop_columns(["hkey"])
+
+
+def _sample_per_source_sql(k: int = 3) -> str:
+    return f"""
+SELECT doc_id, source, n_chars, rk FROM (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 16) ASC, doc_id ASC
+         ) AS rk
+  FROM documents
+) WHERE rk <= {k}
+"""
+
+
+SAMPLE_PER_SOURCE_SQL = _sample_per_source_sql()
