@@ -402,10 +402,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": R.topk_orders,
         "customers_without_orders": R.customers_without_orders,
         "events_hourly": R.events_hourly,
-        "events_by_type": R.events_by_type,
         "high_value_open_orders": R.high_value_open_orders,
         "supplier_balance_by_region": R.supplier_balance_by_region,
-        "distinct_order_priorities": R.distinct_order_priorities,
         "events_sessions": R.events_sessions,
         "events_last_order": R.events_last_order,
         "events_rolling_hour": R.events_rolling_hour,
@@ -424,7 +422,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # KG per-document stages (SURVEY §2.1-2.3, §2.7-2.8)
         "chunk_documents": T.chunk_documents,
         "token_stats_by_source": T.token_stats_by_source,
-        "token_histogram": T.token_histogram,
         "term_mentions": T.term_mentions,
         "doc_term_list": T.doc_term_list,
         "cooccurrence_edges": T.cooccurrence_edges,
@@ -435,13 +432,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "common_word_fraction": C.common_word_fraction,
         "fulltext_bm25": C.fulltext_bm25,
         "dedup_exact": T.dedup_exact,
-        "quality_scores": T.quality_scores,
         "lang_id_documents": lang_id_documents,
         "doc_fingerprints": doc_fingerprints,
         "repetition_stats": repetition_stats,
         "temperature_sample_documents": A.temperature_sample_documents,
         "tfidf_top_terms": T.tfidf_top_terms,
-        "doc_rollup": T.doc_rollup,
         # similarity search (oracled members)
         "knn_cosine": S.knn_cosine,
         # flagship end-to-end + graph analytics (oracle-checked through
@@ -456,6 +451,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_ngram_jaccard": near_dup_ngram_jaccard,
         "decontaminate_documents": decontaminate_documents,
         "dedup_incremental_documents": dedup_incremental_documents,
+        # round-4 stars promoted into the driver's 50-query window:
+        # the composed cleaning funnel, TPC-H Q3, both iterative
+        # hash-exact oracles, and the substring dup census
+        "entity_pagerank_exact": entity_pagerank_exact,
+        "corpus_cleaning_funnel": corpus_cleaning_funnel,
+        "dedup_substrings": D.dedup_substrings,
+        "shipping_priority": R.shipping_priority,
+        "entity_bfs_distances": lambda sf: __import__(
+            "fancyrag_ray.functions.graph", fromlist=["g"]
+        ).entity_bfs_distances(sf),
         # ---- block 2: newest oracled additions beyond the 50-slot
         # budget (each still has a pytest parity row via test_oracle.py),
         # then oracled shared-SQL / shared-mechanism variants
@@ -467,15 +472,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_counts": R.events_hopping_counts,
         "redact_pii_documents": Q.redact_pii_documents,
         "dedup_paragraphs": D.dedup_paragraphs,
-        "entity_pagerank_exact": entity_pagerank_exact,
         "fulltext_topk_chunks": T.fulltext_topk_chunks,
         "fuzzy_term_matches": T.fuzzy_term_matches,
         "gopher_quality_filter": Q.gopher_quality_filter,
-        "corpus_cleaning_funnel": corpus_cleaning_funnel,
-        "dedup_substrings": D.dedup_substrings,
         "events_funnel": R.events_funnel,
         "events_retention": R.events_retention,
-        "shipping_priority": R.shipping_priority,
         "part_distinct_suppliers": R.part_distinct_suppliers,
         "order_status_transitions": R.order_status_transitions,
         "events_value_by_segment": lambda sf: __import__(
@@ -487,9 +488,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_clustering_coefficient": lambda sf: __import__(
             "fancyrag_ray.functions.graph", fromlist=["g"]
         ).entity_clustering_coefficient(sf),
-        "entity_bfs_distances": lambda sf: __import__(
-            "fancyrag_ray.functions.graph", fromlist=["g"]
-        ).entity_bfs_distances(sf),
         "events_sessions_sharded": R.events_sessions_sharded,
         "events_last_order_sharded": TS.events_last_order_sharded,
         "events_rolling_hour_sharded": TS.events_rolling_hour_sharded,
@@ -498,6 +496,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_int8": S.knn_cosine_int8,
         "token_counts": T.token_counts,
         "sample_documents_hash": T.sample_documents_hash,
+        # demoted from the 50-slot window to make room for the
+        # round-4 stars (still oracle-checked in tests/test_oracle.py)
+        "events_by_type": R.events_by_type,
+        "distinct_order_priorities": R.distinct_order_priorities,
+        "token_histogram": T.token_histogram,
+        "quality_scores": T.quality_scores,
+        "doc_rollup": T.doc_rollup,
         # ---- no-oracle block (approximate / iterative / multi-stage;
         # accuracy pinned in tests) — keep these LAST ----
         "knn_cosine_lsh": S.knn_cosine_lsh,
