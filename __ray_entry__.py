@@ -485,6 +485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_peak_window": R.events_peak_window,
         "events_props_stats": R.events_props_stats,
         "sample_per_source": T.sample_per_source,
+        "source_vocab_overlap": T.source_vocab_overlap,
         "entity_clustering_coefficient": lambda sf: __import__(
             "fancyrag_ray.functions.graph", fromlist=["g"]
         ).entity_clustering_coefficient(sf),
@@ -604,6 +605,8 @@ def oracle_sql() -> dict[str, str]:
         "events_props_stats": R.EVENTS_PROPS_STATS_SQL,
         # deterministic per-group sampling (md5 rank through grouped_topk)
         "sample_per_source": T.SAMPLE_PER_SOURCE_SQL,
+        # pairwise source vocab Jaccard (source-domain-bounded fan-out)
+        "source_vocab_overlap": T.SOURCE_VOCAB_OVERLAP_SQL,
         # skew-safe salted join demo query (micro-integer value sums)
         "events_value_by_segment": __import__(
             "fancyrag_ray.functions.autoshard", fromlist=["a"]

@@ -385,6 +385,8 @@ def main() -> None:
             ),
             "events_peak_window": timed(R.events_peak_window),
             "events_props_stats": timed(R.events_props_stats),
+            "sample_per_source": timed(T.sample_per_source),
+            "source_vocab_overlap": timed(T.source_vocab_overlap),
         }
 
     print(json.dumps({

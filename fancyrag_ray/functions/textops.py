@@ -873,3 +873,104 @@ SELECT doc_id, source, n_chars, rk FROM (
 
 
 SAMPLE_PER_SOURCE_SQL = _sample_per_source_sql()
+
+
+def source_vocab_overlap(sf_dir: str) -> rd.Dataset:
+    """Pairwise SOURCE similarity by vocabulary overlap — the corpus
+    comparison matrix (which crawls/feeds duplicate each other?): for
+    every source pair, the distinct-token intersection, both vocabulary
+    sizes, and Jaccard as the all-integer ``|∩|·10⁶ // |∪|`` floor —
+    hash-exact vs the self-join mirror.
+
+    Scale shape: raw text never shuffles (per-batch distinct
+    (source, tok) partials); ONE co-partition by token makes the global
+    pair distinct exact per block, and each token fans out to at most
+    C(|sources with it|, 2) ≤ C(n_sources, 2) pair rows — bounded by the
+    SOURCE domain, not the corpus, so a stopword shared by every source
+    costs the same as a rare term. Vocabulary sizes ride the same
+    deduped table; the final size join broadcasts the O(n_sources) dict."""
+    from itertools import combinations
+
+    import ray
+
+    from ..util import adaptive_partitions, hash_partitioned_combine
+
+    ds = _read_docs(sf_dir, ["source", "text"])
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        lowered = pc.utf8_lower(t.column("text"))
+        lists = pc.split_pattern_regex(lowered, "[^a-z]+")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        keep = pc.greater_equal(pc.utf8_length(flat), 3)
+        pairs = pa.table(
+            {"source": t.column("source").take(parent.filter(keep)), "tok": flat.filter(keep)}
+        )
+        return pairs.group_by(["source", "tok"]).aggregate([])
+
+    def dedupe(t: pa.Table) -> pa.Table:
+        return t.group_by(["source", "tok"]).aggregate([])
+
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    deduped = hash_partitioned_combine(
+        ds.map_batches(tok_partial, batch_format="pyarrow", batch_size=None),
+        ["tok"], dedupe, adaptive_partitions(16, n_rows=n),
+    ).materialize()
+
+    sizes_ds = deduped.groupby("source").aggregate(Count(alias_name="n"))
+    sizes = {r["source"]: int(r["n"]) for r in sizes_ds.take_all()}  # O(n_sources)
+    sizes_ref = ray.put(sizes)
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        # tok co-partitioned => per-block pair generation is globally
+        # exact; the per-token Python loop is SOURCE-domain-bounded
+        df = t.to_pandas()
+        out1, out2 = [], []
+        for _, grp in df.groupby("tok"):
+            srcs = sorted(grp["source"].unique())
+            for a, b in combinations(srcs, 2):
+                out1.append(a)
+                out2.append(b)
+        pt = pa.table(
+            {"src1": pa.array(out1, pa.string()), "src2": pa.array(out2, pa.string()),
+             "ones": pa.array(np.ones(len(out1), np.int64))}
+        )
+        g = pt.group_by(["src1", "src2"]).aggregate([("ones", "sum")])
+        return g.rename_columns(["src1", "src2", "n_common"])
+
+    inter = (
+        deduped.map_batches(pair_partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["src1", "src2"])
+        .aggregate(Sum("n_common", alias_name="n_common"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        sz = ray.get(sizes_ref)
+        n1 = np.array([sz[s] for s in t.column("src1").to_pylist()], np.int64)
+        n2 = np.array([sz[s] for s in t.column("src2").to_pylist()], np.int64)
+        nc = t.column("n_common").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        jac = (nc * 1_000_000) // (n1 + n2 - nc)
+        return pa.table(
+            {"src1": t.column("src1"), "src2": t.column("src2"),
+             "n_common": pa.array(nc), "n1": pa.array(n1), "n2": pa.array(n2),
+             "jaccard_micro_floor": pa.array(jac)}
+        )
+
+    return inter.map_batches(finish, batch_format="pyarrow")
+
+
+SOURCE_VOCAB_OVERLAP_SQL = """
+WITH toks AS (
+  SELECT DISTINCT source, UNNEST(regexp_extract_all(lower(text), '[a-z]{3,}')) AS tok
+  FROM documents
+),
+sizes AS (SELECT source, COUNT(*)::BIGINT AS n FROM toks GROUP BY source),
+inter AS (
+  SELECT a.source AS src1, b.source AS src2, COUNT(*)::BIGINT AS n_common
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src1, src2, n_common, sa.n AS n1, sb.n AS n2,
+       (n_common * 1000000) // (sa.n + sb.n - n_common) AS jaccard_micro_floor
+FROM inter JOIN sizes sa ON sa.source = src1 JOIN sizes sb ON sb.source = src2
+"""
