@@ -486,6 +486,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_stats": R.events_props_stats,
         "sample_per_source": T.sample_per_source,
         "source_vocab_overlap": T.source_vocab_overlap,
+        "orders_monthly_dense": R.orders_monthly_dense,
+        "events_type_trigrams": R.events_type_trigrams,
         "entity_clustering_coefficient": lambda sf: __import__(
             "fancyrag_ray.functions.graph", fromlist=["g"]
         ).entity_clustering_coefficient(sf),
@@ -607,6 +609,10 @@ def oracle_sql() -> dict[str, str]:
         "sample_per_source": T.SAMPLE_PER_SOURCE_SQL,
         # pairwise source vocab Jaccard (source-domain-bounded fan-out)
         "source_vocab_overlap": T.SOURCE_VOCAB_OVERLAP_SQL,
+        # calendar gap-fill (distributed counts, O(months) spine fill)
+        "orders_monthly_dense": R.ORDERS_MONTHLY_DENSE_SQL,
+        # behavioral trigram mining (LAG x2 mirror)
+        "events_type_trigrams": R.EVENTS_TYPE_TRIGRAMS_SQL,
         # skew-safe salted join demo query (micro-integer value sums)
         "events_value_by_segment": __import__(
             "fancyrag_ray.functions.autoshard", fromlist=["a"]

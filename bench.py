@@ -387,6 +387,8 @@ def main() -> None:
             "events_props_stats": timed(R.events_props_stats),
             "sample_per_source": timed(T.sample_per_source),
             "source_vocab_overlap": timed(T.source_vocab_overlap),
+            "orders_monthly_dense": timed(R.orders_monthly_dense),
+            "events_type_trigrams": timed(R.events_type_trigrams),
         }
 
     print(json.dumps({

@@ -1694,3 +1694,87 @@ WITH x AS (
 SELECT event_type, COUNT(*)::BIGINT AS n_events, SUM(k)::BIGINT AS sum_k, MAX(k) AS max_k
 FROM x WHERE k IS NOT NULL GROUP BY 1
 """
+
+
+def orders_monthly_dense(sf_dir: str) -> rd.Dataset:
+    """Time-series DENSIFICATION (calendar gap-fill): monthly order
+    counts left-joined onto a generated month spine so silent gaps
+    become explicit zeros — the reporting primitive every BI pipeline
+    needs. The heavy part (per-month counts) is a distributed
+    partial-first aggregate; the spine fill touches only the O(months)
+    aggregated series on the driver (a 100-year series is 1,200 rows),
+    mirrored by DuckDB's ``generate_series`` LEFT JOIN."""
+    ds = _read(sf_dir, "orders", ["o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        mon = pc.floor_temporal(t.column("o_orderdate").cast(pa.timestamp("us")), unit="month")
+        g = pa.table({"mon": mon}).group_by(["mon"]).aggregate([([], "count_all")])
+        return g.rename_columns(["mon", "n_orders"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("mon")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    )
+    rows = agg.take_all()  # O(months) — the aggregated series only
+    if not rows:
+        return rd.from_arrow(
+            pa.table({"mon": pa.array([], pa.timestamp("us")), "n_orders": pa.array([], pa.int64())})
+        )
+    counts = {np.datetime64(r["mon"], "M"): int(r["n_orders"]) for r in rows}
+    lo, hi = min(counts), max(counts)
+    spine = np.arange(lo, hi + np.timedelta64(1, "M"), dtype="datetime64[M]")
+    return rd.from_arrow(
+        pa.table(
+            {"mon": pa.array(spine.astype("datetime64[us]")),
+             "n_orders": pa.array([counts.get(m, 0) for m in spine], pa.int64())}
+        )
+    )
+
+
+ORDERS_MONTHLY_DENSE_SQL = """
+WITH m AS (
+  SELECT DATE_TRUNC('month', o_orderdate) AS mon, COUNT(*)::BIGINT AS n_orders
+  FROM orders GROUP BY 1
+), bounds AS (SELECT MIN(mon) AS lo, MAX(mon) AS hi FROM m),
+spine AS (
+  SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 MONTH)) AS mon FROM bounds
+)
+SELECT s.mon, COALESCE(m.n_orders, 0)::BIGINT AS n_orders
+FROM spine s LEFT JOIN m USING (mon)
+"""
+
+
+def events_type_trigrams(sf_dir: str) -> rd.Dataset:
+    """Behavioral sequence mining: consecutive event-type TRIGRAMS per
+    user (ordered by ts, then event_id) counted corpus-wide — the n=3
+    extension of ``order_status_transitions``' Markov pairs, the
+    input to next-action models and anomalous-flow detection. Same one
+    co-partition by user + per-block vectorized sort/shift plan; final
+    exchange bounded by |event types|³."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+    n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+
+    def block(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        g = df.groupby("user_id")["event_type"]
+        pairs = pd.DataFrame({"e1": g.shift(2), "e2": g.shift(1), "e3": df["event_type"]}).dropna()
+        out = pairs.groupby(["e1", "e2", "e3"], as_index=False).size().rename(columns={"size": "n"})
+        out["n"] = out["n"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = hash_partitioned_combine(ds, ["user_id"], block, adaptive_partitions(16, n_rows=n))
+    return partials.groupby(["e1", "e2", "e3"]).aggregate(Sum("n", alias_name="n"))
+
+
+EVENTS_TYPE_TRIGRAMS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type AS e3,
+         LAG(event_type, 1) OVER w AS e2,
+         LAG(event_type, 2) OVER w AS e1
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e1, e2, e3, COUNT(*)::BIGINT AS n FROM seq WHERE e1 IS NOT NULL GROUP BY 1, 2, 3
+"""

@@ -1120,3 +1120,30 @@ class TestShippingPriorityTiers:
 
         out = shipping_priority("/root/testdata/sf0.001", segment="NO_SUCH_SEGMENT")
         assert out.count() == 0
+
+
+class TestMonthlyDenseGapFill:
+    def test_planted_gap_becomes_zero(self, ray_session, tmp_path):
+        """Orders in Jan and Apr only: the spine must emit Feb and Mar
+        as explicit zero rows."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from fancyrag_ray.functions.relational import orders_monthly_dense
+
+        t = pa.table(
+            {
+                "o_orderkey": [1, 2, 3],
+                "o_orderdate": pa.array(
+                    [pd.Timestamp("2024-01-15"), pd.Timestamp("2024-01-20"), pd.Timestamp("2024-04-02")],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(t, str(d / "orders.parquet"))
+
+        out = orders_monthly_dense(str(d)).to_pandas().sort_values("mon").reset_index(drop=True)
+        assert len(out) == 4
+        assert list(out["n_orders"]) == [2, 0, 0, 1]
