@@ -488,6 +488,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_vocab_overlap": T.source_vocab_overlap,
         "orders_monthly_dense": R.orders_monthly_dense,
         "events_type_trigrams": R.events_type_trigrams,
+        "corpus_datacard": lambda sf: __import__(
+            "fancyrag_ray.pipelines.clean_corpus", fromlist=["c"]
+        ).corpus_datacard(sf),
         "entity_clustering_coefficient": lambda sf: __import__(
             "fancyrag_ray.functions.graph", fromlist=["g"]
         ).entity_clustering_coefficient(sf),
@@ -613,6 +616,10 @@ def oracle_sql() -> dict[str, str]:
         "orders_monthly_dense": R.ORDERS_MONTHLY_DENSE_SQL,
         # behavioral trigram mining (LAG x2 mirror)
         "events_type_trigrams": R.EVENTS_TYPE_TRIGRAMS_SQL,
+        # per-source data card (docs/tokens/keep-rate/dup membership)
+        "corpus_datacard": __import__(
+            "fancyrag_ray.pipelines.clean_corpus", fromlist=["c"]
+        ).CORPUS_DATACARD_SQL,
         # skew-safe salted join demo query (micro-integer value sums)
         "events_value_by_segment": __import__(
             "fancyrag_ray.functions.autoshard", fromlist=["a"]

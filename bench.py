@@ -389,6 +389,9 @@ def main() -> None:
             "source_vocab_overlap": timed(T.source_vocab_overlap),
             "orders_monthly_dense": timed(R.orders_monthly_dense),
             "events_type_trigrams": timed(R.events_type_trigrams),
+            "corpus_datacard": timed(
+                __import__("fancyrag_ray.pipelines.clean_corpus", fromlist=["c"]).corpus_datacard
+            ),
         }
 
     print(json.dumps({

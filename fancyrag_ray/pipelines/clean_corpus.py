@@ -150,3 +150,95 @@ UNION ALL SELECT 'quality', COUNT(*)::BIGINT, COALESCE(SUM(n_tokens), 0)::BIGINT
 UNION ALL SELECT 'dedup', COUNT(*)::BIGINT, COALESCE(SUM(n_tokens), 0)::BIGINT FROM dd
 UNION ALL SELECT 'decontaminated', COUNT(*)::BIGINT, COALESCE(SUM(n_tokens), 0)::BIGINT FROM fin
 """
+
+
+def corpus_datacard(sf_dir: str) -> rd.Dataset:
+    """Per-SOURCE data card — the dataset-documentation table a corpus
+    release ships (docs, whitespace tokens, Gopher keep count and
+    micro keep-rate, duplicate-group membership count per source),
+    DRIVER-ORACLED end to end. One pass over raw text computes the
+    per-doc signals (the funnel's kernel plus the source column); exact
+    duplicate membership comes from a slim fp-count self-join (both
+    sides fingerprint-keyed, raw text never shuffles); the final
+    exchange is bounded by |sources|."""
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+
+    def per_doc_src(t: pa.Table) -> pa.Table:
+        base = _per_doc(t)
+        return base.append_column("source", t.column("source"))
+
+    per = docs.map_batches(per_doc_src, batch_format="pyarrow", batch_size=2048).materialize()
+
+    def fp_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["fp"]).group_by(["fp"]).aggregate([([], "count_all")])
+        return g.rename_columns(["fp", "c"])
+
+    from ..util import adaptive_partitions
+
+    n = per.count()
+    fp_counts = (
+        per.map_batches(fp_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("fp")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    joined = per.join(
+        fp_counts, join_type="inner",
+        num_partitions=adaptive_partitions(16, n_rows=n),
+        on=("fp",), right_on=("fp",),
+    )
+
+    def src_partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        dup = pc.greater(t.column("c"), 1).cast(pa.int64())
+        pt = pa.table(
+            {"source": t.column("source"),
+             "ones": pa.array(np.ones(t.num_rows, np.int64)),
+             "tok": t.column("n_tokens").cast(pa.int64()),
+             "keep": t.column("keep").cast(pa.int64()),
+             "dup": dup}
+        )
+        g = pt.group_by(["source"]).aggregate(
+            [("ones", "sum"), ("tok", "sum"), ("keep", "sum"), ("dup", "sum")]
+        )
+        return g.rename_columns(["source", "n_docs", "n_tokens", "n_keep", "n_dup_docs"])
+
+    agg = (
+        joined.map_batches(src_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("n_keep", alias_name="n_keep"),
+            Sum("n_dup_docs", alias_name="n_dup_docs"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        nd = t.column("n_docs").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        nk = t.column("n_keep").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        rate = np.where(nd > 0, (nk * 1_000_000) // np.maximum(nd, 1), 0)
+        return t.append_column("keep_rate_micro_floor", pa.array(rate, pa.int64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+CORPUS_DATACARD_SQL = f"""
+WITH g AS ({GOPHER_QUALITY_FILTER_SQL}),
+base AS (
+  SELECT d.doc_id, d.source, SHA256(d.text) AS fp, g.n_words AS n_tokens, g.keep
+  FROM documents d JOIN g ON d.doc_id = g.doc_id
+),
+fpc AS (SELECT fp, COUNT(*)::BIGINT AS c FROM base GROUP BY fp),
+j AS (SELECT b.*, fpc.c FROM base b JOIN fpc USING (fp))
+SELECT source, COUNT(*)::BIGINT AS n_docs,
+       SUM(n_tokens)::BIGINT AS n_tokens,
+       SUM(keep)::BIGINT AS n_keep,
+       SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+       (SUM(keep) * 1000000) // COUNT(*) AS keep_rate_micro_floor
+FROM j GROUP BY source
+"""
