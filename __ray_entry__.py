@@ -491,6 +491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_datacard": lambda sf: __import__(
             "fancyrag_ray.pipelines.clean_corpus", fromlist=["c"]
         ).corpus_datacard(sf),
+        "customer_order_counts": R.customer_order_counts,
         "entity_clustering_coefficient": lambda sf: __import__(
             "fancyrag_ray.functions.graph", fromlist=["g"]
         ).entity_clustering_coefficient(sf),
@@ -620,6 +621,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_datacard": __import__(
             "fancyrag_ray.pipelines.clean_corpus", fromlist=["c"]
         ).CORPUS_DATACARD_SQL,
+        # LEFT OUTER enrichment join, pre-aggregated before the shuffle
+        "customer_order_counts": R.CUSTOMER_ORDER_COUNTS_SQL,
         # skew-safe salted join demo query (micro-integer value sums)
         "events_value_by_segment": __import__(
             "fancyrag_ray.functions.autoshard", fromlist=["a"]

@@ -1778,3 +1778,100 @@ WITH seq AS (
 )
 SELECT e1, e2, e3, COUNT(*)::BIGINT AS n FROM seq WHERE e1 IS NOT NULL GROUP BY 1, 2, 3
 """
+
+
+def customer_order_counts(sf_dir: str) -> rd.Dataset:
+    """LEFT OUTER join surface (the one join type the query suite had
+    not yet exercised): every customer with their order count and
+    integer-cents order total, zero-filled for order-less customers —
+    the canonical enrichment join. Orders pre-aggregate to one slim row
+    per customer BEFORE the join (the exchange is bounded by
+    |customers|, never |orders|), then one hash ``left_outer``
+    Dataset.join against the customer table and a vectorized COALESCE."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.trunc(
+            t.column("o_totalprice").to_numpy() * 100.0
+            + np.copysign(0.5, t.column("o_totalprice").to_numpy())
+        ).astype(np.int64)
+        pt = pa.table(
+            {"o_custkey": t.column("o_custkey"),
+             "ones": pa.array(np.ones(t.num_rows, np.int64)),
+             "cents": pa.array(cents)}
+        )
+        g = pt.group_by(["o_custkey"]).aggregate([("ones", "sum"), ("cents", "sum")])
+        return g.rename_columns(["o_custkey", "n_orders", "total_cents"])
+
+    counts = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("o_custkey")
+        .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("total_cents", alias_name="total_cents"))
+        .materialize()
+    )
+
+    from ..util import dataset_mean_row_bytes, fits_broadcast
+
+    n_counts = counts.count()
+    if n_counts == 0 or fits_broadcast(n_counts, dataset_mean_row_bytes(counts, max(n_counts, 1))):
+        # broadcast tier: ship the slim aggregate once, probe per batch
+        # (also sidesteps Ray's hash-join limitation with the SCHEMA-LESS
+        # empty blocks tiny shuffles emit — at scale, where the join tier
+        # runs, partitions are never empty)
+        import ray
+
+        ct = counts.to_pandas()
+        keys = ct["o_custkey"].to_numpy() if n_counts else np.array([], np.int64)
+        srt = np.argsort(keys)
+        ref = ray.put(
+            (keys[srt],
+             ct["n_orders"].to_numpy()[srt] if n_counts else np.array([], np.int64),
+             ct["total_cents"].to_numpy()[srt] if n_counts else np.array([], np.int64))
+        )
+
+        def probe(t: pa.Table) -> pa.Table:
+            k, n_o, tc = ray.get(ref)
+            ck = t.column("c_custkey").to_numpy()
+            if len(k) == 0:
+                n = np.zeros(len(ck), np.int64)
+                tot = np.zeros(len(ck), np.int64)
+            else:
+                pos = np.clip(np.searchsorted(k, ck), 0, len(k) - 1)
+                hit = k[pos] == ck
+                n = np.where(hit, n_o[pos], 0).astype(np.int64)
+                tot = np.where(hit, tc[pos], 0).astype(np.int64)
+            return pa.table(
+                {"c_custkey": t.column("c_custkey"), "c_name": t.column("c_name"),
+                 "n_orders": pa.array(n), "total_cents": pa.array(tot)}
+            )
+
+        return cust.map_batches(probe, batch_format="pyarrow")
+
+    joined = cust.join(
+        counts, join_type="left_outer",
+        num_partitions=adaptive_partitions(8),
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"c_custkey": t.column("c_custkey"),
+             "c_name": t.column("c_name"),
+             "n_orders": pc.coalesce(t.column("n_orders"), pa.scalar(0, pa.int64())),
+             "total_cents": pc.coalesce(t.column("total_cents"), pa.scalar(0, pa.int64()))}
+        )
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
+CUSTOMER_ORDER_COUNTS_SQL = """
+SELECT c.c_custkey, c.c_name,
+       COALESCE(o.n_orders, 0)::BIGINT AS n_orders,
+       COALESCE(o.total_cents, 0)::BIGINT AS total_cents
+FROM customer c LEFT JOIN (
+  SELECT o_custkey, COUNT(*)::BIGINT AS n_orders,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))::BIGINT AS total_cents
+  FROM orders GROUP BY o_custkey
+) o ON c.c_custkey = o.o_custkey
+"""

@@ -1147,3 +1147,22 @@ class TestMonthlyDenseGapFill:
         out = orders_monthly_dense(str(d)).to_pandas().sort_values("mon").reset_index(drop=True)
         assert len(out) == 4
         assert list(out["n_orders"]) == [2, 0, 0, 1]
+
+
+class TestCustomerOrderCountsLeftJoin:
+    def test_orderless_customer_zero_filled(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from fancyrag_ray.functions.relational import customer_order_counts
+
+        cust = pa.table({"c_custkey": [1, 2, 3], "c_name": ["a", "b", "c"]})
+        orders = pa.table({"o_custkey": [1, 1, 3], "o_totalprice": [10.5, 2.25, 7.0]})
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(cust, str(d / "customer.parquet"))
+        pq.write_table(orders, str(d / "orders.parquet"))
+
+        out = customer_order_counts(str(d)).to_pandas().set_index("c_custkey").sort_index()
+        assert out.loc[2, "n_orders"] == 0 and out.loc[2, "total_cents"] == 0
+        assert out.loc[1, "n_orders"] == 2 and out.loc[1, "total_cents"] == 1275
+        assert out.loc[3, "total_cents"] == 700
