@@ -512,6 +512,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rollup": T.doc_rollup,
         # ---- no-oracle block (approximate / iterative / multi-stage;
         # accuracy pinned in tests) — keep these LAST ----
+        "media_frame_manifest": lambda sf: __import__(
+            "fancyrag_ray.stages.multimodal", fromlist=["m"]
+        ).media_frame_manifest(sf),
         "knn_cosine_lsh": S.knn_cosine_lsh,
         "knn_cosine_ivf": S.knn_cosine_ivf,
         "knn_cosine_ivf_indexed": knn_cosine_ivf_indexed,

@@ -180,3 +180,75 @@ def media_spans_table(docs_batch: pa.Table) -> pa.Table:
             "payload": pa.array(o_payload, pa.binary()),
         }
     )
+
+
+def synth_media_docs(batch: pa.Table) -> pa.Table:
+    """Deterministically attach media spans to plain driver documents
+    (doc_id % 3 == 0 → an image span, % 5 == 0 → an audio span,
+    % 7 == 0 → a video span; media_ref derived from doc_id) so the
+    multimodal plumbing runs over the driver's own testdata — the
+    media-span synthesis a real interleaved corpus would carry natively."""
+    n = batch.num_rows
+    texts = batch.column("text")
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    ids = batch.column("doc_id").to_pylist()
+    kinds, span_texts, refs, offs, lens = [], [], [], [], []
+    for i, d in enumerate(ids):
+        row = [("text", texts[i].as_py() or "", "", 0)]
+        if d % 3 == 0:
+            row.append(("image", "", f"media://image/{d}", 1))
+        if d % 5 == 0:
+            row.append(("audio", "", f"media://audio/{d}", 2))
+        if d % 7 == 0:
+            row.append(("video", "", f"media://video/{d}", 3))
+        for k, t, r, o in row:
+            kinds.append(k)
+            span_texts.append(t)
+            refs.append(r)
+            offs.append(o)
+        lens.append(len(row))
+    span_type = pa.struct(
+        [("kind", pa.string()), ("text", pa.string()), ("media_ref", pa.string()), ("offset", pa.int32())]
+    )
+    structs = pa.StructArray.from_arrays(
+        [pa.array(kinds), pa.array(span_texts), pa.array(refs), pa.array(offs, pa.int32())],
+        fields=list(span_type),
+    )
+    offsets = pa.array(np.concatenate([[0], np.cumsum(lens)]).astype(np.int32))
+    spans = pa.ListArray.from_arrays(offsets, structs)
+    # the interleaved contract carries STRING doc ids (fixtures.py)
+    return pa.table({"doc_id": batch.column("doc_id").cast(pa.string()), "spans": spans})
+
+
+def media_frame_manifest(sf_dir: str):
+    """Driver-visible MULTIMODAL run: synthesize media spans over the
+    driver documents, explode them (``media_spans_table``), route each
+    kind through its actor-pool stage (image decode, audio frame sample,
+    video 1→N frame flatten) and emit the per-kind manifest
+    (n_media, n_rows_out). The decode kernels are the documented
+    deterministic fakes (PIL/soundfile/pyav absent in this sandbox), so
+    counts are exact and pinned in tests; the Ray plumbing — schema,
+    batch routing, actor signatures, flattening — is the real contract.
+    No SQL oracle (binary payloads + sha-derived fake frame counts are
+    not reasonably SQL-expressible); rows-only driver check."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    media = docs.map_batches(synth_media_docs, batch_format="pyarrow").map_batches(
+        media_spans_table, batch_format="pyarrow"
+    ).materialize()
+
+    rows = []
+    for kind, stage in (("image", ImageDecoder), ("audio", AudioFrameSampler), ("video", VideoFrameSampler)):
+        sub = media.map_batches(
+            lambda t, k=kind: t.filter(pa.compute.equal(t.column("kind"), k)),
+            batch_format="pyarrow",
+        )
+        n_media = sub.count()
+        out = sub.map_batches(stage, batch_format="pyarrow", batch_size=256, concurrency=(1, 2), num_cpus=1)
+        rows.append({"kind": kind, "n_media": int(n_media), "n_rows_out": int(out.count())})
+
+    import pandas as pd
+
+    return pd.DataFrame(rows)

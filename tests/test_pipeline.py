@@ -122,3 +122,35 @@ class TestFlagship:
         import numpy as np
 
         assert abs(float(np.linalg.norm(first)) - 1.0) < 1e-5
+
+
+class TestMediaFrameManifest:
+    def test_deterministic_counts_and_flattening(self, ray_session, tmp_path):
+        """doc_ids 1..21: ids % 3 == 0 get an image span (7), % 5 == 0
+        audio (4), % 7 == 0 video (3); video rows flatten 1→N with
+        N = min(16, max(1, int(1.0 + sha256(payload)[3]))) — re-derive N
+        exactly and pin the totals."""
+        import hashlib
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from fancyrag_ray.stages.multimodal import media_frame_manifest
+
+        ids = list(range(1, 22))
+        t = pa.table({"doc_id": ids, "text": [f"doc {i} text" for i in ids]})
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(t, str(d / "documents.parquet"))
+
+        out = media_frame_manifest(str(d)).set_index("kind")
+        assert out.loc["image", "n_media"] == 7 and out.loc["image", "n_rows_out"] == 7
+        assert out.loc["audio", "n_media"] == 4 and out.loc["audio", "n_rows_out"] == 4
+        assert out.loc["video", "n_media"] == 3
+        want_frames = 0
+        for i in ids:
+            if i % 7 == 0:
+                payload = hashlib.sha256(f"media://video/{i}".encode()).digest() * 4
+                h = hashlib.sha256(payload).digest()
+                want_frames += min(16, max(1, int((1.0 + h[3]) * 1.0)))
+        assert out.loc["video", "n_rows_out"] == want_frames
