@@ -392,6 +392,7 @@ def main() -> None:
             "corpus_datacard": timed(
                 __import__("fancyrag_ray.pipelines.clean_corpus", fromlist=["c"]).corpus_datacard
             ),
+            "customer_order_counts": timed(R.customer_order_counts),
         }
 
     print(json.dumps({
