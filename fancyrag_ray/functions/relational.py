@@ -1492,8 +1492,8 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
 
 SHIPPING_PRIORITY_SQL = """
 SELECT l.l_orderkey AS o_orderkey,
-       SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS revenue_c100,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c100,
        o.o_orderdate
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey

@@ -239,6 +239,6 @@ SELECT source, COUNT(*)::BIGINT AS n_docs,
        SUM(n_tokens)::BIGINT AS n_tokens,
        SUM(keep)::BIGINT AS n_keep,
        SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
-       (SUM(keep) * 1000000) // COUNT(*) AS keep_rate_micro_floor
+       ((SUM(keep) * 1000000) // COUNT(*))::BIGINT AS keep_rate_micro_floor
 FROM j GROUP BY source
 """

@@ -48,6 +48,45 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def _assert_no_decimal(name: str, table) -> None:
+    """Driver-grade strictness: the driver value-hashes the raw Arrow
+    values, so a DuckDB HUGEINT/decimal128 aggregate (uncast
+    ``SUM(BIGINT*BIGINT)``) hash-mismatches an int64 engine column even
+    when every value is identical. Reject decimal types outright so the
+    local gate catches what the driver's hash catches (round-4 verdict:
+    ``shipping_priority``, ``corpus_datacard``)."""
+    import pyarrow as pa
+
+    for f in table.schema:
+        assert not pa.types.is_decimal(f.type), (
+            f"{name}: oracle column {f.name!r} is {f.type} — cast the SQL "
+            f"aggregate to BIGINT (::BIGINT) so dtypes match the engine"
+        )
+
+
+def _compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> None:
+    assert list(ray_df.columns) == list(sql_df.columns), (
+        f"{name}: columns {list(ray_df.columns)} != {list(sql_df.columns)}"
+    )
+    assert len(ray_df) == len(sql_df), f"{name}: rows {len(ray_df)} != {len(sql_df)}"
+    for c in ray_df.columns:
+        a, b = ray_df[c], sql_df[c]
+        a_f, b_f = pd.api.types.is_float_dtype(a), pd.api.types.is_float_dtype(b)
+        a_i, b_i = pd.api.types.is_integer_dtype(a), pd.api.types.is_integer_dtype(b)
+        # an int column on one side arriving float on the other is a
+        # dtype contract violation, not a tolerance question
+        assert not (a_i and b_f) and not (a_f and b_i), (
+            f"{name}: column {c} dtype-kind mismatch {a.dtype} vs {b.dtype}"
+        )
+        if a_f or b_f:
+            assert np.allclose(a.astype(float), b.astype(float), rtol=1e-9, atol=1e-9, equal_nan=True), (
+                f"{name}: column {c} differs"
+            )
+        else:
+            mism = (a.astype(str) != b.astype(str))
+            assert not mism.any(), f"{name}: column {c} differs at rows {list(a[mism].head())} vs {list(b[mism].head())}"
+
+
 @pytest.fixture(scope="module")
 def oracle_con():
     con = duckdb.connect()
@@ -63,20 +102,29 @@ QUERIES = entrymod.queries()
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_match(name, oracle_con, ray_session):
     ray_df = _normalize(_to_pandas(QUERIES[name](SF_DIR)))
-    sql_df = _normalize(oracle_con.execute(ORACLES[name]).fetchdf())
-    assert list(ray_df.columns) == list(sql_df.columns), (
-        f"{name}: columns {list(ray_df.columns)} != {list(sql_df.columns)}"
-    )
-    assert len(ray_df) == len(sql_df), f"{name}: rows {len(ray_df)} != {len(sql_df)}"
-    for c in ray_df.columns:
-        a, b = ray_df[c], sql_df[c]
-        if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
-            assert np.allclose(a.astype(float), b.astype(float), rtol=1e-9, atol=1e-9, equal_nan=True), (
-                f"{name}: column {c} differs"
-            )
-        else:
-            mism = (a.astype(str) != b.astype(str))
-            assert not mism.any(), f"{name}: column {c} differs at rows {list(a[mism].head())} vs {list(b[mism].head())}"
+    sql_arrow = oracle_con.execute(ORACLES[name]).arrow()
+    _assert_no_decimal(name, sql_arrow)
+    sql_df = _normalize(sql_arrow.to_pandas())
+    _compare(name, ray_df, sql_df)
+
+
+def test_uncast_hugeint_mirror_fails(oracle_con):
+    """Regression pin for the round-4 driver red: an uncast
+    ``SUM(BIGINT*BIGINT)`` mirror returns decimal128 (HUGEINT) and MUST
+    fail this harness even though the values equal the int64 engine
+    side — the driver's value-hash is dtype-sensitive."""
+    bad = oracle_con.execute(
+        "SELECT SUM(CAST(l_orderkey AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS v FROM lineitem"
+    ).arrow()
+    with pytest.raises(AssertionError, match="cast the SQL aggregate"):
+        _assert_no_decimal("uncast_hugeint", bad)
+    # and if the decimal arrives in pandas as float64 (duckdb's HUGEINT
+    # fetchdf path), the int/float kind guard catches it too
+    eng = pd.DataFrame({"v": pd.array([1], dtype="int64")})
+    ora = _normalize(bad.to_pandas())
+    if pd.api.types.is_float_dtype(ora["v"]):
+        with pytest.raises(AssertionError):
+            _compare("uncast_hugeint", _normalize(eng), ora)
 
 
 def test_rows_only_queries_run(ray_session):
