@@ -1509,12 +1509,21 @@ ORDER BY revenue_c100 DESC, o_orderkey ASC LIMIT 10
 def part_distinct_suppliers(sf_dir: str) -> rd.Dataset:
     """Distinct-count at scale (TPC-H Q16 shape over the tables we
     have): suppliers per part brand from lineitem, plus the lineitem
-    volume. Two-level exact distinct: per-batch (brand, suppkey) partial
-    counts → one hash combine keyed by the PAIR (exchange bounded by
-    |brands| × |suppliers|, not lineitems) → per-brand pair-count /
-    count-sum rollup. The part→brand dimension map broadcasts once
-    (``ray.put`` + ``searchsorted``), the fact table never shuffles raw."""
+    volume. Exact distinct with a TINY pair domain (|brands| ×
+    |suppliers| ≪ |lineitems|): per-batch (brand, suppkey) partial
+    counts → ``tree_aggregate`` coalesce (no hash shuffle — each level
+    merges blocks of pair partials with the same associative group_by)
+    → per-brand pair-count / count-sum rollup on the single final
+    block. Round-4 profiling showed the previous
+    ``hash_partitioned_combine`` + second groupby spent three shuffled
+    passes on a ≤25k-row pair domain; the tree coalesce is one. For a
+    pair domain too big for one block (≳10M pairs), callers should flip
+    back to the hash-partitioned plan — the partial/combine fns are
+    shared. The part→brand dimension map broadcasts once (``ray.put``
+    + ``searchsorted``), the fact table never shuffles raw."""
     import ray
+
+    from ..stages.materialize import tree_aggregate
 
     part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
     pk = part.column("p_partkey").to_numpy()
@@ -1542,13 +1551,14 @@ def part_distinct_suppliers(sf_dir: str) -> rd.Dataset:
         )
 
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
-    n_li = pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows
-    pairs = hash_partitioned_combine(
+    pairs = tree_aggregate(
         li.map_batches(partial, batch_format="pyarrow", batch_size=None),
-        ["p_brand", "l_suppkey"], pair_combine, adaptive_partitions(16, n_rows=n_li),
+        pair_combine, levels=(8, 1),
     )
 
-    def brand_partial(t: pa.Table) -> pa.Table:
+    def brand_rollup(t: pa.Table) -> pa.Table:
+        # exact: `pairs` holds every (brand, suppkey) exactly once in
+        # the single final tree block
         pt = pa.table(
             {"p_brand": t.column("p_brand"),
              "pair": pa.array(np.ones(t.num_rows, np.int64)),
@@ -1557,11 +1567,7 @@ def part_distinct_suppliers(sf_dir: str) -> rd.Dataset:
         g = pt.group_by(["p_brand"]).aggregate([("pair", "sum"), ("n", "sum")])
         return g.rename_columns(["p_brand", "n_suppliers", "n_lineitems"])
 
-    return (
-        pairs.map_batches(brand_partial, batch_format="pyarrow", batch_size=None)
-        .groupby("p_brand")
-        .aggregate(Sum("n_suppliers", alias_name="n_suppliers"), Sum("n_lineitems", alias_name="n_lineitems"))
-    )
+    return pairs.map_batches(brand_rollup, batch_format="pyarrow", batch_size=None)
 
 
 PART_DISTINCT_SUPPLIERS_SQL = """
