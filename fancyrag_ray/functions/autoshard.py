@@ -220,7 +220,16 @@ def salted_join(
     ride salt 0 with no replication — then one ordinary hash join on
     (key, salt). Result rows are EXACTLY the plain join's (salting is
     an implementation detail), which is what the planted hot-key test
-    and the SQL mirror of any query built on this assert."""
+    and the SQL mirror of any query built on this assert.
+
+    ASSUMPTION — left = fact, right = dimension: only LEFT-side skew is
+    probed and salted. A key hot only on the RIGHT still funnels all
+    its joined rows through one aggregator, and a key hot on BOTH sides
+    replicates the hot right rows n_salts times (output explosion is
+    inherent to the join, but the shuffle cost multiplies). Fine for
+    the events⋈customer call sites this serves; to reuse against a
+    possibly-skewed right side, probe both sides (``hot_keys`` on each)
+    and pass the bigger one as ``left``."""
     import numpy as np
     import pyarrow.compute as pc
     import ray

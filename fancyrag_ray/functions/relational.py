@@ -1247,7 +1247,12 @@ def events_hopping_counts(sf_dir: str) -> rd.Dataset:
 
 
 EVENTS_HOPPING_COUNTS_SQL = """
-SELECT make_timestamp(((epoch_us(ts) // 900000000) - j) * 900000000) AS window_start,
+-- hop bucket uses FLOOR division like the engine's numpy `//`;
+-- DuckDB's `//` truncates toward zero (-7 // 2 = -3, numpy -4), so
+-- emulate floor with integer math (remainder sign follows dividend)
+-- to stay hash-exact for pre-1970 timestamps too
+SELECT make_timestamp((((epoch_us(ts) // 900000000)
+         - CASE WHEN epoch_us(ts) % 900000000 < 0 THEN 1 ELSE 0 END) - j) * 900000000) AS window_start,
        event_type,
        count(*) AS n_events
 FROM events, unnest([0, 1, 2, 3]) AS t(j)
@@ -1668,8 +1673,13 @@ def events_props_stats(sf_dir: str) -> rd.Dataset:
 
     def partial(t: pa.Table) -> pa.Table:
         # Arrow's extract_regex requires NAMED groups; DuckDB's mirror
-        # uses the equivalent unnamed group 1 — same RE2 semantics
-        ex = pc.extract_regex(pc.coalesce(t.column("props"), pa.scalar("")), r'"k":\s*(?P<k>\d+)')
+        # uses the equivalent unnamed group 1 — same RE2 semantics.
+        # The capture is bounded to 18 digits so the value always fits
+        # int64: an unbounded \d+ would make pc.cast RAISE on a 20-digit
+        # payload where the mirror's TRY_CAST silently NULLs (RE2 has no
+        # lookahead, so a longer run matches its first 18 digits — on
+        # BOTH sides identically, keeping the mirror hash-exact).
+        ex = pc.extract_regex(pc.coalesce(t.column("props"), pa.scalar("")), r'"k":\s*(?P<k>\d{1,18})')
         vals = pc.struct_field(ex, "k")
         ok = pc.is_valid(vals)
         k = pc.cast(pc.fill_null(vals, "0"), pa.int64())
@@ -1694,7 +1704,7 @@ def events_props_stats(sf_dir: str) -> rd.Dataset:
 
 EVENTS_PROPS_STATS_SQL = """
 WITH x AS (
-  SELECT event_type, TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k
+  SELECT event_type, TRY_CAST(regexp_extract(props, '"k":\\s*(\\d{1,18})', 1) AS BIGINT) AS k
   FROM events
 )
 SELECT event_type, COUNT(*)::BIGINT AS n_events, SUM(k)::BIGINT AS sum_k, MAX(k) AS max_k

@@ -742,8 +742,8 @@ def fuzzy_term_matches(sf_dir: str, max_dist: int = 2) -> rd.Dataset:
     """Typo-tolerant entity linking (fuzzy J6): corpus tokens within
     edit distance ``max_dist`` of a canonical vocabulary term, with the
     number of documents containing each token. The reference resolves
-    entities by EXACT key only (``canonicalize`` / J6,
-    ``src/fancyrag/kg/pipeline.py:640-668``); this is the fuzzy variant
+    entities by EXACT key only (J6: ``SinglePropertyExactMatchResolver``
+    wired at ``pipelines/kg_ingest.yaml:69-76``); this is the fuzzy variant
     a real entity-resolution pass needs, and it is fully SQL-oracled
     via DuckDB's ``levenshtein``.
 
