@@ -77,15 +77,24 @@ def asof_join_auto(
     shard_seconds: int = 86_400,
     num_partitions: int = 16,
     hot_key_threshold: int = HOT_KEY_THRESHOLD_ROWS,
+    probe_left: rd.Dataset | None = None,
+    probe_right: rd.Dataset | None = None,
 ) -> rd.Dataset:
     """``relational.asof_join`` with data-driven skew dispatch: probes
     the densest ``by`` key on BOTH sides (either side's hot key lands in
     the same co-partitioned block) and picks the sharded plan only when
-    needed."""
+    needed.
+
+    ``probe_left`` / ``probe_right``: optional stand-in datasets for the
+    probe (same key column, e.g. a key-only parquet read). When the
+    input is the tail of a transform pipeline, probing it directly would
+    EXECUTE that pipeline once just to count keys — at 100 TB that is a
+    full extra pass; a narrow source read costs one column's IO."""
     from . import relational, timeshard
 
     hottest = max(
-        max_key_rows(left, by), max_key_rows(right, right_by or by)
+        max_key_rows(probe_left if probe_left is not None else left, by),
+        max_key_rows(probe_right if probe_right is not None else right, right_by or by),
     )
     if choose_windowed_path(hottest, hot_key_threshold) == "sharded":
         return timeshard.asof_join_timesharded(
@@ -110,11 +119,15 @@ def rolling_window_aggregate_auto(
     shard_seconds: int | None = None,
     num_partitions: int = 16,
     hot_key_threshold: int = HOT_KEY_THRESHOLD_ROWS,
+    probe_ds: rd.Dataset | None = None,
 ) -> rd.Dataset:
-    """``relational.rolling_window_aggregate`` with skew dispatch."""
+    """``relational.rolling_window_aggregate`` with skew dispatch.
+    ``probe_ds``: optional key-only stand-in for the probe (see
+    :func:`asof_join_auto`)."""
     from . import relational, timeshard
 
-    if choose_windowed_path(max_key_rows(ds, by), hot_key_threshold) == "sharded":
+    probe = probe_ds if probe_ds is not None else ds
+    if choose_windowed_path(max_key_rows(probe, by), hot_key_threshold) == "sharded":
         return timeshard.rolling_window_aggregate_timesharded(
             ds, on=on, by=by, value_col=value_col, window_seconds=window_seconds,
             out_sum=out_sum, out_n=out_n, shard_seconds=shard_seconds,
@@ -137,11 +150,18 @@ def range_join_auto(
     shard_seconds: int = 86_400,
     num_partitions: int = 16,
     hot_key_threshold: int = HOT_KEY_THRESHOLD_ROWS,
+    probe_left: rd.Dataset | None = None,
+    probe_right: rd.Dataset | None = None,
 ) -> rd.Dataset:
-    """``relational.range_join`` with skew dispatch (both sides probed)."""
+    """``relational.range_join`` with skew dispatch (both sides probed).
+    ``probe_left`` / ``probe_right``: optional key-only stand-ins for
+    the probe (see :func:`asof_join_auto`)."""
     from . import relational, timeshard
 
-    hottest = max(max_key_rows(left, by), max_key_rows(right, right_by or by))
+    hottest = max(
+        max_key_rows(probe_left if probe_left is not None else left, by),
+        max_key_rows(probe_right if probe_right is not None else right, right_by or by),
+    )
     if choose_windowed_path(hottest, hot_key_threshold) == "sharded":
         return timeshard.range_join_timesharded(
             left, right, on=on, by=by, lower=lower, upper=upper,
@@ -163,11 +183,15 @@ def keyed_running_total_auto(
     shard_seconds: int = 86_400,
     num_partitions: int = 16,
     hot_key_threshold: int = HOT_KEY_THRESHOLD_ROWS,
+    probe_ds: rd.Dataset | None = None,
 ) -> rd.Dataset:
-    """``analytics.keyed_running_total`` with skew dispatch."""
+    """``analytics.keyed_running_total`` with skew dispatch.
+    ``probe_ds``: optional key-only stand-in for the probe (see
+    :func:`asof_join_auto`)."""
     from . import analytics, timeshard
 
-    if choose_windowed_path(max_key_rows(ds, by), hot_key_threshold) == "sharded":
+    probe = probe_ds if probe_ds is not None else ds
+    if choose_windowed_path(max_key_rows(probe, by), hot_key_threshold) == "sharded":
         return timeshard.keyed_running_total_timesharded(
             ds, by=by, order=order, value_col=value_col, out_col=out_col,
             shard_seconds=shard_seconds, num_partitions=num_partitions,

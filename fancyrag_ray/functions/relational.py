@@ -773,7 +773,12 @@ def events_rolling_hour(sf_dir: str) -> rd.Dataset:
         )
 
     n_events = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
-    return rolling_window_aggregate(
+    # Skew-dispatched (autoshard): probe a key-only read, not the
+    # _cents pipeline tail — probing the tail would execute the whole
+    # transform once just to count keys.
+    from .autoshard import rolling_window_aggregate_auto
+
+    return rolling_window_aggregate_auto(
         ds.map_batches(_cents, batch_format="pyarrow"),
         on="ts",
         by="user_id",
@@ -781,6 +786,7 @@ def events_rolling_hour(sf_dir: str) -> rd.Dataset:
         window_seconds=3600,
         out_sum="win_sum_cents",
         num_partitions=adaptive_partitions(16, n_rows=n_events),
+        probe_ds=_read(sf_dir, "events", ["user_id"]),
     ).select_columns(["event_id", "user_id", "ts", "win_sum_cents", "win_n"])
 
 
@@ -969,7 +975,11 @@ def events_session_attribution(sf_dir: str) -> rd.Dataset:
         return pa.table(cols)
 
     n_events = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
-    return range_join(
+    # Skew-dispatched (autoshard); probe = key-only fact read + the
+    # materialized session intervals.
+    from .autoshard import range_join_auto
+
+    return range_join_auto(
         events,
         sessions.map_batches(_recast, batch_format="pyarrow").materialize(),
         on="ts",
@@ -978,6 +988,7 @@ def events_session_attribution(sf_dir: str) -> rd.Dataset:
         upper="t_end",
         right_by="s_user",
         num_partitions=adaptive_partitions(16, n_rows=n_events),
+        probe_left=_read(sf_dir, "events", ["user_id"]),
     ).select_columns(["event_id", "user_id", "ts", "session_id"])
 
 
@@ -1029,7 +1040,14 @@ def events_last_order(sf_dir: str) -> rd.Dataset:
 
     reduced = orders.map_batches(_pre, batch_format="pyarrow").materialize()
     n_events = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
-    return asof_join(
+    # Route through the skew dispatcher (autoshard): the probe scans a
+    # key-only read of the fact side (one column's IO) and the already-
+    # materialized reduced right side; on unskewed data it picks this
+    # exact unsharded plan, on a hot user it switches to the
+    # time-sharded plan — same semantics, same SQL oracle either way.
+    from .autoshard import asof_join_auto
+
+    return asof_join_auto(
         events,
         reduced,
         on="ts",
@@ -1037,6 +1055,7 @@ def events_last_order(sf_dir: str) -> rd.Dataset:
         right_on="o_orderdate",
         right_by="o_custkey",
         num_partitions=adaptive_partitions(16, n_rows=n_events),
+        probe_left=_read(sf_dir, "events", ["user_id"]),
     )
 
 
