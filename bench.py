@@ -32,6 +32,31 @@ BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "100000"))
 BENCH_SEED = 42
 
 
+def _spin_worker(n: int) -> float:
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(n):
+        x += i & 7
+    return n / (time.perf_counter() - t0)
+
+
+def _steal_probe(workers: int = 4, iters: int = 2_000_000) -> float:
+    """Pure-CPU spin-farm probe (the BASELINE.md round-1 control,
+    miniaturized): aggregate Mops/s across ``workers`` processes.
+    Clean-window reference on this host ≈ 67–70 Mops/s at 4 workers; a
+    stolen window reads proportionally lower. Published alongside every
+    bench row (VERDICT r4 ask #7) so a reader can separate host steal
+    from engine regression when comparing rounds."""
+    import multiprocessing as mp
+
+    try:
+        with mp.get_context("fork").Pool(workers) as p:
+            rates = p.map(_spin_worker, [iters] * workers)
+        return round(sum(rates) / 1e6, 1)
+    except Exception:
+        return -1.0
+
+
 def _bench_corpus_dir() -> str:
     """Generate-or-reuse the deterministic bench corpus (cached), sharded
     into 64 part files so the read parallelizes like a real fragmented
@@ -83,7 +108,9 @@ def _scaling(lo: int | None = None, hi: int | None = None) -> None:
     # methodology); per-window pair efficiencies are published alongside.
     reps = int(os.environ.get("GRAFT_SCALE_PAIRS", "3"))
     pair_runs = []
+    pair_probes = []
     for _ in range(reps):
+        pair_probes.append(_steal_probe())
         r_lo = run_level(lo, "1")
         r_hi = run_level(hi, "1")
         pair_runs.append((r_lo, r_hi))
@@ -100,6 +127,8 @@ def _scaling(lo: int | None = None, hi: int | None = None) -> None:
         "triples_per_sec_lo": round(tp_lo, 1), "triples_per_sec_hi": round(tp_hi, 1),
         "pair_efficiencies": pair_effs,
         "best_pair_efficiency": max(pair_effs),
+        "pair_steal_probes_mops": pair_probes,
+        "steal_probe_clean_ref": "67-70 Mops/s @ 4 workers",
     }
     # Transparency companion (VERDICT r1 §Next-8): the 8→32 levels are
     # also published even though this host's 32 vCPUs are SMT-shared
@@ -118,6 +147,118 @@ def _scaling(lo: int | None = None, hi: int | None = None) -> None:
             "note": "SMT/vCPU-shared host: pure-CPU control farm caps at 0.70-0.73 on 8->32",
         }
     print(json.dumps(payload))
+
+
+def _skew() -> None:
+    """Measured justification for the autoshard dispatch threshold
+    (2²¹ rows — VERDICT r4 ask #6): time the UNSHARDED vs TIME-SHARDED
+    asof-join plans, plus the probe-dispatched ``asof_join_auto``, on
+    two synthesized skewed events tables:
+
+      * below-threshold — 2M rows, hottest user = 20% (400k rows,
+        < 2²¹): the unsharded plan's hot partition still pipelines, so
+        the sharded plan's boundary-state phases are pure tax; the
+        dispatcher must pick unsharded.
+      * above-threshold — 12M rows, hottest user = 25% (3M rows,
+        > 2²¹): the hot key serializes one co-partitioned block in the
+        unsharded plan (straggler); the dispatcher must pick sharded.
+
+    One JSON line; results recorded in BASELINE.md (round-5 section)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data as rd
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from fancyrag_ray.functions import relational, timeshard
+    from fancyrag_ray.functions.autoshard import (
+        HOT_KEY_THRESHOLD_ROWS, asof_join_auto, choose_windowed_path, max_key_rows,
+    )
+
+    span_us = 30 * 86_400 * 1_000_000
+    n_users = 100_000
+
+    def synth(tag: str, n_rows: int, hot_frac: float) -> tuple[str, str, int]:
+        out = f"/tmp/fancyrag_skew_{tag}_n{n_rows}"
+        marker = os.path.join(out, ".complete")
+        n_hot = int(n_rows * hot_frac)
+        if not os.path.exists(marker):
+            rng = np.random.default_rng(11)
+            user = np.concatenate(
+                [np.full(n_hot, 1, np.int64), rng.integers(2, n_users, n_rows - n_hot)]
+            )
+            ts = rng.integers(0, span_us, n_rows).astype("datetime64[us]")
+            events = pa.table({
+                "event_id": pa.array(np.arange(n_rows), pa.int64()),
+                "user_id": pa.array(user),
+                "ts": pa.array(ts),
+            })
+            os.makedirs(f"{out}/events", exist_ok=True)
+            shard = (n_rows + 31) // 32
+            for i in range(32):
+                part = events.slice(i * shard, shard)
+                if part.num_rows:
+                    pq.write_table(part, f"{out}/events/part-{i:05d}.parquet")
+            # uniform right side: ~10 orders per user
+            n_orders = n_users * 10
+            orders = pa.table({
+                "o_custkey": pa.array(rng.integers(1, n_users, n_orders)),
+                "o_orderdate": pa.array(rng.integers(0, span_us, n_orders).astype("datetime64[us]")),
+                "o_orderkey": pa.array(np.arange(n_orders), pa.int64()),
+            })
+            pq.write_table(orders, f"{out}/orders.parquet")
+            open(marker, "w").write("ok")
+        return f"{out}/events", f"{out}/orders.parquet", n_hot
+
+    def timed_plan(fn, reps: int) -> float:
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn().count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 2)
+
+    reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
+    configs = {}
+    cases = [("below_threshold", 2_000_000, 0.20), ("above_threshold", 12_000_000, 0.25)]
+    for tag, n_rows, hot_frac in cases:
+        ev_path, ord_path, n_hot = synth(tag, n_rows, hot_frac)
+        rd.read_parquet(ev_path).count()  # warm page cache
+
+        def left():
+            return rd.read_parquet(ev_path)
+
+        right = rd.read_parquet(ord_path).materialize()
+        kw = dict(on="ts", by="user_id", right_on="o_orderdate",
+                  right_by="o_custkey", num_partitions=64)
+        probe_t0 = time.perf_counter()
+        hottest = max_key_rows(left(), "user_id")
+        probe_sec = round(time.perf_counter() - probe_t0, 2)
+        configs[tag] = {
+            "rows": n_rows,
+            "hot_key_rows": n_hot,
+            "threshold": HOT_KEY_THRESHOLD_ROWS,
+            "auto_path": choose_windowed_path(hottest),
+            "probe_sec": probe_sec,
+            "unsharded_sec": timed_plan(lambda: relational.asof_join(left(), right, **kw), reps),
+            "sharded_sec": timed_plan(lambda: timeshard.asof_join_timesharded(left(), right, **kw), reps),
+            "auto_sec": timed_plan(lambda: asof_join_auto(left(), right, probe_left=left(), **kw), reps),
+        }
+    print(json.dumps({
+        "metric": "skew_asof_dispatch", "unit": "sec", "num_cpus": NUM_CPUS,
+        "configs": configs,
+        "steal_probe_mops_post": _steal_probe(),
+        "steal_probe_clean_ref": "67-70 Mops/s @ 4 workers",
+    }))
+    ray.shutdown()
 
 
 def main() -> None:
@@ -140,6 +281,7 @@ def main() -> None:
         edges_from_linked_triples, nodes_from_linked_triples,
     )
 
+    probe_pre = _steal_probe()
     corpus_dir = _bench_corpus_dir()
     aliases = pq.read_table(f"{corpus_dir}/entity_aliases.parquet")
     # warm the page cache so we measure compute+shuffle, not first disk read
@@ -416,6 +558,14 @@ def main() -> None:
         "n_chunks_embedded": emb_rows,
         "precision": round(precision, 4) if precision is not None else None,
         "recall": round(recall, 4) if recall is not None else None,
+        # window-cleanliness annotation: pure-CPU spin-farm Mops/s
+        # before the headline and after the query suite (clean host
+        # reference 67-70 @ 4 workers — BASELINE.md round-1 control).
+        # Rows timed between two full-rate probes are clean-window; a
+        # low probe marks the whole run as steal-inflated.
+        "steal_probe_mops_pre": probe_pre,
+        "steal_probe_mops_post": _steal_probe(),
+        "steal_probe_clean_ref": "67-70 Mops/s @ 4 workers",
     }))
     ray.shutdown()
 
@@ -423,5 +573,7 @@ def main() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         _scaling()
+    elif "--skew" in sys.argv:
+        _skew()
     else:
         main()

@@ -508,11 +508,16 @@ def knn_cosine_pq(
     and the exact stage re-reads only the candidate rows' float vectors
     and reranks exactly (same shape as ``knn_cosine_int8``).
 
-    Approximate: unlike int8, PQ reconstruction error can demote true
-    neighbors out of the candidate set (worst on unstructured gaussian
-    vectors — the driver table — where recall ≈0.8–0.9 at C=100; on
-    clusterable real-embedding geometry it is ≈1, pinned in
-    tests/test_export_similarity.py). Rows-only driver check."""
+    Approximate: unlike int8 (whose quantization error provably cannot
+    reorder the candidate cut at these magnitudes, so it shares
+    KNN_COSINE_SQL), PQ reconstruction error can demote true neighbors
+    out of the candidate set, so it canNOT share the exact oracle:
+    measured on the driver embeddings at defaults (m=8, kc=16, C=100),
+    recall@10 = 0.8 at sf0.001 and 0.9 at sf0.01 (round-5 measurement;
+    worst-case geometry — unstructured gaussian vectors quantize
+    poorly). On clusterable real-embedding geometry recall ≈1, pinned
+    in tests/test_export_similarity.py. Rows-only driver check by
+    design."""
     import pyarrow.dataset as pads
 
     from ..util import mix64
