@@ -50,7 +50,33 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--alias-table", default=None, help="optional parquet of entity aliases for the linker")
     p.add_argument("--fail-after", type=int, default=None, help="abort after N partitions (kill/resume test hook)")
     p.add_argument("--num-cpus", type=int, default=None, help="standalone only: cap the local Ray session's CPUs")
+    p.add_argument(
+        "--num-shards", type=int, default=None,
+        help="group the discovered input files into N checkpoint partitions "
+        "(default: one partition per file). At cluster scale, size N so a "
+        "partition ≈ minutes of work: too many tiny partitions pay per-"
+        "partition pipeline startup + manifest/global-phase overhead, too "
+        "few lose resume granularity. Grouping is deterministic (sorted "
+        "discovery, contiguous split), but MUST be kept constant across "
+        "resume runs of the same --output — the manifest keys partitions "
+        "by group index.",
+    )
     return p
+
+
+def group_shards(files: list[str], num_shards: int | None) -> list:
+    """Deterministic contiguous grouping of the sorted discovery list
+    into ``num_shards`` balanced multi-file partitions (each becomes ONE
+    checkpoint/resume unit; ``read_table`` accepts the file list)."""
+    if not num_shards or num_shards >= len(files):
+        return list(files)
+    base, extra = divmod(len(files), num_shards)
+    out, i = [], 0
+    for s in range(num_shards):
+        n = base + (1 if s < extra else 0)
+        out.append(files[i : i + n])
+        i += n
+    return out
 
 
 def run(argv: Iterable[str] | None = None) -> dict:
@@ -85,6 +111,7 @@ def run(argv: Iterable[str] | None = None) -> dict:
             files = [args.input]
         else:
             files = discover_partitions(args.input, include=(args.glob,))
+        files = group_shards(files, args.num_shards)
         alias = pq.read_table(args.alias_table) if args.alias_table else None
         result = run_kg_build_resumable(
             files,

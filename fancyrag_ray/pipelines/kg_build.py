@@ -179,7 +179,7 @@ def _append_doc_key(t: pa.Table) -> pa.Table:
 
 
 def run_partition(
-    docs_file: str,
+    docs_file: str | list[str],
     out_dir: str,
     partition_id: str,
     cfg: PipelineConfig,
@@ -331,7 +331,7 @@ def run_kg_build_incremental(
 
 
 def run_kg_build_resumable(
-    docs_files: list[str],
+    docs_files: list[str | list[str]],
     out_dir: str,
     cfg: PipelineConfig | None = None,
     schema: GraphSchema = DEFAULT_SCHEMA,

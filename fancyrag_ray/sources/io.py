@@ -29,10 +29,14 @@ except ImportError:
     HAVE_LANCE = False
 
 
-def read_table(path: str, columns: Sequence[str] | None = None, **kwargs) -> rd.Dataset:
+def read_table(
+    path: str | Sequence[str], columns: Sequence[str] | None = None, **kwargs
+) -> rd.Dataset:
     """Read a logical table, pruning columns at the read (row-group and
-    column pushdown — never load columns a stage doesn't use)."""
-    if HAVE_LANCE and path.endswith(".lance"):
+    column pushdown — never load columns a stage doesn't use). ``path``
+    may be a list of files (one multi-file shard — the ``--num-shards``
+    grouping path)."""
+    if HAVE_LANCE and isinstance(path, str) and path.endswith(".lance"):
         return rd.read_lance(path, columns=list(columns) if columns else None, **kwargs)
     return rd.read_parquet(path, columns=list(columns) if columns else None, **kwargs)
 

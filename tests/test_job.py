@@ -65,3 +65,35 @@ class TestJobEntrypoint:
         docs = [f for f in one if "documents" in f][0]
         result = run(["--input", docs, "--output", str(tmp_path / "kg1")])
         assert result["status"] == "done" and result["total"] == 1
+
+
+class TestNumShards:
+    def test_group_shards_balanced_and_deterministic(self):
+        from fancyrag_ray.job import group_shards
+
+        files = [f"f{i}" for i in range(10)]
+        g = group_shards(files, 3)
+        assert [len(x) for x in g] == [4, 3, 3]
+        assert [f for grp in g for f in grp] == files  # order-preserving
+        assert group_shards(files, None) == files  # default: per-file
+        assert group_shards(files, 99) == files  # more shards than files
+
+    def test_num_shards_build_equals_per_file(self, ray_session, sharded_docs, tmp_path):
+        """--num-shards N groups files into N checkpoint partitions; the
+        final graph is identical to the one-partition-per-file build
+        (the global merge is associative over partition partials)."""
+        import pyarrow.parquet as pq
+
+        out1 = str(tmp_path / "kg_perfile")
+        out2 = str(tmp_path / "kg_grouped")
+        r1 = run(["--input", sharded_docs, "--output", out1])
+        r2 = run(["--input", sharded_docs, "--output", out2, "--num-shards", "2"])
+        assert r1["total"] == 4 and r2["total"] == 2
+        assert r2["status"] == "done"
+
+        def edge_set(d):
+            t = pq.read_table(os.path.join(d, "edges"))
+            cols = sorted(t.column_names)
+            return sorted(zip(*[t.column(c).to_pylist() for c in cols]))
+
+        assert edge_set(out1) == edge_set(out2)
