@@ -1352,7 +1352,11 @@ def events_retention(sf_dir: str) -> rd.Dataset:
     per block one vectorized pandas pass (day floor → per-user distinct
     days → transform-min cohort → offset) whose per-(cohort, offset)
     user counts are EXACT partials because a user never spans blocks;
-    the final exchange is bounded by |cohorts| × |offsets|, not rows."""
+    the final exchange is bounded by |cohorts| × |offsets|, not rows.
+    The cohort key rides that exchange as int64 epoch-µs (Ray's sort
+    shuffle re-infers timestamp units through numpy, which downcast the
+    column to timestamp[s]); the terminal map casts it back to the
+    driver-hash-exact timestamp[us]."""
     ds = _read(sf_dir, "events", ["user_id", "ts"])
     n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
 
@@ -1367,17 +1371,22 @@ def events_retention(sf_dir: str) -> rd.Dataset:
             .agg(n_users=("user_id", "size"))
         )
         out["n_users"] = out["n_users"].astype("int64")
-        # pin us precision: pandas' day floor can downcast the arrow
-        # unit, and the driver hash is timestamp-unit-sensitive
-        out["cohort_day"] = out["cohort_day"].astype("datetime64[us]")
+        out["cohort_us"] = out.pop("cohort_day").astype("datetime64[us]").astype("int64")
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def finish(t: pa.Table) -> pa.Table:
+        day = pc.cast(t.column("cohort_us"), pa.timestamp("us"))
+        return pa.table(
+            {"cohort_day": day, "day_offset": t.column("day_offset"), "n_users": t.column("n_users")}
+        )
+
     partials = hash_partitioned_combine(ds, ["user_id"], block, adaptive_partitions(16, n_rows=n))
-    return partials.groupby(["cohort_day", "day_offset"]).aggregate(Sum("n_users", alias_name="n_users"))
+    agg = partials.groupby(["cohort_us", "day_offset"]).aggregate(Sum("n_users", alias_name="n_users"))
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 EVENTS_RETENTION_SQL = """
-WITH pairs AS (SELECT DISTINCT user_id, DATE_TRUNC('day', ts) AS day FROM events),
+WITH pairs AS (SELECT DISTINCT user_id, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day FROM events),
 f AS (SELECT user_id, MIN(day) AS cohort_day FROM pairs GROUP BY user_id)
 SELECT f.cohort_day, DATE_DIFF('day', f.cohort_day, p.day)::BIGINT AS day_offset,
        COUNT(*)::BIGINT AS n_users
@@ -1769,7 +1778,7 @@ def orders_monthly_dense(sf_dir: str) -> rd.Dataset:
 
 ORDERS_MONTHLY_DENSE_SQL = """
 WITH m AS (
-  SELECT DATE_TRUNC('month', o_orderdate) AS mon, COUNT(*)::BIGINT AS n_orders
+  SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS mon, COUNT(*)::BIGINT AS n_orders
   FROM orders GROUP BY 1
 ), bounds AS (SELECT MIN(mon) AS lo, MAX(mon) AS hi FROM m),
 spine AS (

@@ -37,14 +37,16 @@ def _to_pandas(res) -> pd.DataFrame:
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    # Driver-grade strictness: NO dtype coercion here. Rounding floats is
+    # the only transform (sort stability for the value compare); integer
+    # widths and timestamp units must already agree with the oracle —
+    # the round-4/5 verdicts showed coercion masks exactly the
+    # mismatches the driver's value-hash flags (decimal128-vs-int64,
+    # timestamp[s]-vs-[us] in events_retention).
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].round(9)
-        elif pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("int64")
-        elif pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = df[c].astype("datetime64[us]")
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
@@ -78,6 +80,14 @@ def _compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> None:
         assert not (a_i and b_f) and not (a_f and b_i), (
             f"{name}: column {c} dtype-kind mismatch {a.dtype} vs {b.dtype}"
         )
+        # …and so are integer-width and timestamp-unit differences: the
+        # str()-based value compare below can't see them ("2020-01-01"
+        # prints the same at [s] and [us]) but the driver's raw-Arrow
+        # value-hash does (round-5: events_retention timestamp[s])
+        if not (a_f or b_f):
+            assert str(a.dtype) == str(b.dtype), (
+                f"{name}: column {c} dtype mismatch {a.dtype} vs {b.dtype}"
+            )
         if a_f or b_f:
             assert np.allclose(a.astype(float), b.astype(float), rtol=1e-9, atol=1e-9, equal_nan=True), (
                 f"{name}: column {c} differs"
