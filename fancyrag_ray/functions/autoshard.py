@@ -61,7 +61,18 @@ def max_key_rows(ds: rd.Dataset, key: str) -> int:
 def choose_windowed_path(
     max_rows: int, threshold: int = HOT_KEY_THRESHOLD_ROWS
 ) -> str:
-    """'sharded' iff the densest key exceeds the one-block budget."""
+    """'sharded' iff the densest key exceeds the one-block budget.
+
+    The threshold is a WORKER-HEAP dial, not a latency crossover:
+    measured at 32 CPUs (BASELINE.md round-5 skew table), the sharded
+    plan costs ~2.5–3.5× the unsharded plan's wall-clock even at a
+    3M-row hot key, because a 3M-row pandas block is still only ~70 MB
+    and finishes in seconds on a large-memory box — sharding pays off
+    where the unsharded plan would materialize an UNBOUNDED key block
+    on a small worker heap (bot-scale keys, 100M+ rows). Default 2²¹
+    (~50–100 MB/key-block) suits ~4 GB workers; raise
+    ``hot_key_threshold`` on large-memory clusters that care about
+    latency."""
     return "sharded" if max_rows > threshold else "unsharded"
 
 

@@ -185,3 +185,150 @@ class TestKgHttpServer:
                 raise AssertionError("expected 401")
             except urllib.error.HTTPError as e:
                 assert e.code == 401
+
+def _post(base: str, path: str, payload, token: str | None = None):
+    import urllib.error
+    import urllib.request
+    import json as _json
+
+    data = payload if isinstance(payload, bytes) else _json.dumps(payload).encode()
+    headers = {"Content-Type": "application/json"}
+    if token:
+        headers["Authorization"] = f"Bearer {token}"
+    req = urllib.request.Request(base + path, data=data, headers=headers, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            raw = r.read()
+            return r.status, (_json.loads(raw) if raw else None), dict(r.headers)
+    except urllib.error.HTTPError as e:
+        raw = e.read()
+        return e.code, (_json.loads(raw) if raw else None), dict(e.headers)
+
+
+def _rpc(base: str, method: str, params=None, mid=1, token=None):
+    msg = {"jsonrpc": "2.0", "id": mid, "method": method}
+    if params is not None:
+        msg["params"] = params
+    return _post(base, "/mcp", msg, token=token)
+
+
+class TestKgMcp:
+    """MCP JSON-RPC framing over /mcp: the reference's FastMCP tool
+    surface (search/fetch, runtime.py:396-417) behind the standard
+    initialize → tools/list → tools/call handshake."""
+
+    def test_initialize_handshake(self, http_server):
+        _, base = http_server
+        code, body, _ = _rpc(base, "initialize", {"protocolVersion": "2025-06-18", "capabilities": {}})
+        assert code == 200 and body["id"] == 1
+        res = body["result"]
+        assert res["protocolVersion"] and "tools" in res["capabilities"]
+        assert res["serverInfo"]["name"]
+        # initialized notification: no id -> 202, empty body
+        code, body, _ = _post(base, "/mcp", {"jsonrpc": "2.0", "method": "notifications/initialized"})
+        assert code == 202 and body is None
+
+    def test_tools_list(self, http_server):
+        _, base = http_server
+        code, body, _ = _rpc(base, "tools/list")
+        tools = {t["name"]: t for t in body["result"]["tools"]}
+        assert set(tools) == {"search", "fetch"}
+        assert tools["search"]["inputSchema"]["required"] == ["query"]
+        assert tools["search"]["inputSchema"]["properties"]["top_k"]["default"] == 5
+        assert tools["fetch"]["inputSchema"]["required"] == ["element_id"]
+
+    def test_tools_call_search_matches_in_process(self, http_server):
+        srv, base = http_server
+        code, body, _ = _rpc(
+            base, "tools/call", {"name": "search", "arguments": {"query": "launched product", "top_k": 3}}
+        )
+        assert code == 200
+        res = body["result"]
+        assert res["isError"] is False
+        out = res["structuredContent"]
+        direct = srv.search("launched product", top_k=3)
+        assert [i["chunk_uid"] for i in out["results"]] == direct["hits"]["chunk_uid"].tolist()
+        # content[0].text is the JSON rendering of the same payload
+        import json as _json
+
+        assert _json.loads(res["content"][0]["text"])["results"] == _json.loads(
+            _json.dumps(out["results"])
+        )
+
+    def test_tools_call_fetch(self, http_server):
+        srv, base = http_server
+        some = srv.search("launched", top_k=1)["context"]["subj_id"].iloc[0]
+        code, body, _ = _rpc(base, "tools/call", {"name": "fetch", "arguments": {"element_id": some}})
+        out = body["result"]["structuredContent"]
+        assert out["found"] is True and out["element_id"] == some
+        assert "embedding" not in out["metadata"]
+
+    def test_tool_errors_are_in_result_not_protocol(self, http_server):
+        """Reference parity: a ValueError inside a tool is a TOOL error
+        (isError), exactly like FastMCP wraps the reference's raises."""
+        _, base = http_server
+        for args, msg in [
+            ({"query": "x", "top_k": 0}, "top_k must be greater than zero"),
+            ({"query": "x", "top_k": 2.5}, "top_k must be an integer"),
+            ({"query": "x", "effective_search_ratio": 0}, "effective_search_ratio must be greater than zero"),
+            ({}, "query is required"),
+        ]:
+            code, body, _ = _rpc(base, "tools/call", {"name": "search", "arguments": args})
+            assert code == 200 and "error" not in body
+            assert body["result"]["isError"] is True
+            assert body["result"]["content"][0]["text"] == msg
+
+    def test_protocol_errors(self, http_server):
+        _, base = http_server
+        # unknown method -> -32601
+        code, body, _ = _rpc(base, "prompts/list")
+        assert body["error"]["code"] == -32601
+        # unknown tool -> -32602
+        code, body, _ = _rpc(base, "tools/call", {"name": "nope", "arguments": {}})
+        assert body["error"]["code"] == -32602
+        # malformed JSON -> -32700 with null id
+        code, body, _ = _post(base, "/mcp", b"{not json")
+        assert body["error"]["code"] == -32700 and body["id"] is None
+        # missing jsonrpc member -> -32600
+        code, body, _ = _post(base, "/mcp", {"id": 9, "method": "ping"})
+        assert body["error"]["code"] == -32600
+        # ping works
+        code, body, _ = _rpc(base, "ping")
+        assert body["result"] == {}
+
+    def test_post_routes_reference_validation(self, http_server):
+        """The reference's POST /search and /fetch custom routes
+        (runtime.py:355-394): JSON body, exact validation messages."""
+        srv, base = http_server
+        code, body, _ = _post(base, "/search", {"query": "launched product", "top_k": 3})
+        assert code == 200
+        direct = srv.search("launched product", top_k=3)
+        assert [i["chunk_uid"] for i in body["results"]] == direct["hits"]["chunk_uid"].tolist()
+        assert _post(base, "/search", b"{oops")[:2] == (400, {"error": "Invalid JSON body"})
+        assert _post(base, "/search", [1, 2])[:2] == (400, {"error": "Invalid JSON body"})
+        assert _post(base, "/search", {})[1] == {"error": "query is required"}
+        assert _post(base, "/search", {"query": "x", "top_k": "3"})[1] == {"error": "top_k must be an integer"}
+        some = srv.search("launched", top_k=1)["context"]["subj_id"].iloc[0]
+        code, body, _ = _post(base, "/fetch", {"element_id": some})
+        assert code == 200 and body["found"] is True
+        assert _post(base, "/fetch", {})[1] == {"error": "element_id is required"}
+        code, body, _ = _post(base, "/fetch", {"element_id": "x-no-such"})
+        assert code == 200 and body == {"found": False, "element_id": "x-no-such"}
+
+    def test_mcp_auth_challenge(self, server):
+        """401 on /mcp without the bearer token, with the reference's
+        www-authenticate challenge shape (runtime.py:302-325)."""
+        from fancyrag_ray.pipelines.http_serve import KgHttpServer
+
+        srv, *_ = server
+        with KgHttpServer(srv, auth_token="sekrit") as h:
+            host, port = h.address
+            base = f"http://{host}:{port}"
+            code, body, headers = _rpc(base, "tools/list")
+            assert code == 401
+            assert body == {"error": "invalid_token", "error_description": "Authentication required"}
+            assert "Bearer" in headers.get("www-authenticate", headers.get("Www-Authenticate", ""))
+            code, body, _ = _rpc(base, "tools/list", token="sekrit")
+            assert code == 200 and len(body["result"]["tools"]) == 2
+            # POST data routes are behind the token too
+            assert _post(base, "/search", {"query": "x"})[0] == 401
