@@ -53,6 +53,21 @@ class TestProbe:
         ds = _events({1: 1}).filter(lambda r: False)
         assert max_key_rows(ds, "user_id") == 0
 
+    def test_union_probe_counts_combined_sides(self, ray_session):
+        """The two-sided probe sums a key's rows ACROSS sides (that is
+        what one co-partitioned block holds) and runs as one execution;
+        keys hot on only one side still count correctly."""
+        from fancyrag_ray.functions.autoshard import max_key_rows_union
+
+        left = _events({1: 7, 2: 3})
+        right = _events({1: 6, 3: 9}).map_batches(
+            lambda t: pa.table({"r_user": t.column("user_id")}),
+            batch_format="pyarrow",
+        )
+        # key 1: 7 + 6 = 13 combined beats key 3's single-side 9
+        assert max_key_rows_union([(left, "user_id"), (right, "r_user")]) == 13
+        assert max_key_rows_union([(left, "user_id")]) == 7
+
     def test_choice(self):
         assert choose_windowed_path(10, threshold=100) == "unsharded"
         assert choose_windowed_path(101, threshold=100) == "sharded"
