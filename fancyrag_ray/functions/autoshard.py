@@ -124,6 +124,7 @@ def asof_join_auto(
     hot_key_threshold: int = HOT_KEY_THRESHOLD_ROWS,
     probe_left: rd.Dataset | None = None,
     probe_right: rd.Dataset | None = None,
+    probe_hottest: int | None = None,
 ) -> rd.Dataset:
     """``relational.asof_join`` with data-driven skew dispatch: probes
     the densest ``by`` key on BOTH sides (either side's hot key lands in
@@ -136,12 +137,17 @@ def asof_join_auto(
     EXECUTE that pipeline once just to count keys — at 100 TB that is a
     full extra pass; a narrow source read costs one column's IO.
 
+    ``probe_hottest``: caller-supplied combined count of the densest key
+    — skips the probe execution entirely. Use when the statistic falls
+    out of work already done (e.g. a materialized right side that
+    aggregates the left, as session summaries aggregate events).
+
     The statistic is the COMBINED left+right row count of the densest
     key (one union probe, :func:`max_key_rows_union`) — that is what an
     unsharded co-partitioned block actually holds."""
     from . import relational, timeshard
 
-    hottest = max_key_rows_union(
+    hottest = probe_hottest if probe_hottest is not None else max_key_rows_union(
         [
             (probe_left if probe_left is not None else left, by),
             (probe_right if probe_right is not None else right, right_by or by),
@@ -203,14 +209,16 @@ def range_join_auto(
     hot_key_threshold: int = HOT_KEY_THRESHOLD_ROWS,
     probe_left: rd.Dataset | None = None,
     probe_right: rd.Dataset | None = None,
+    probe_hottest: int | None = None,
 ) -> rd.Dataset:
     """``relational.range_join`` with skew dispatch (both sides probed
     in one union execution — combined count, see :func:`asof_join_auto`).
     ``probe_left`` / ``probe_right``: optional key-only stand-ins for
-    the probe."""
+    the probe; ``probe_hottest``: caller-supplied statistic that skips
+    the probe execution (see :func:`asof_join_auto`)."""
     from . import relational, timeshard
 
-    hottest = max_key_rows_union(
+    hottest = probe_hottest if probe_hottest is not None else max_key_rows_union(
         [
             (probe_left if probe_left is not None else left, by),
             (probe_right if probe_right is not None else right, right_by or by),

@@ -962,33 +962,58 @@ def events_session_attribution(sf_dir: str) -> rd.Dataset:
     the events table — a self-validating property."""
     events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
     sessions = events_sessions_sharded(sf_dir).select_columns(
-        ["user_id", "session_id", "t_start", "t_end"]
+        ["user_id", "session_id", "n_events", "t_start", "t_end"]
     )
 
     def _recast(t: pa.Table) -> pa.Table:
         cols = {
             "s_user": t.column("user_id").cast(pa.int64()),
             "session_id": t.column("session_id"),
+            "n_events": t.column("n_events"),
             "t_start": t.column("t_start").cast(pa.timestamp("us")),
             "t_end": t.column("t_end").cast(pa.timestamp("us")),
         }
         return pa.table(cols)
 
     n_events = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
-    # Skew-dispatched (autoshard); probe = key-only fact read + the
-    # materialized session intervals.
+    mat = sessions.map_batches(_recast, batch_format="pyarrow").materialize()
+    # Skew-dispatched (autoshard), with a FREE probe: the session
+    # summaries already aggregate the fact side (Σ n_events per user =
+    # that user's event rows), so the exact combined per-key count the
+    # dispatcher needs — events + session rows of the densest user —
+    # falls out of one tiny aggregation over the O(sessions)
+    # materialized table. No events re-read, no union-probe execution.
+    from ray.data.aggregate import Max as _Max, Sum as _Sum
+
+    def _key_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["s_user", "n_events"]).group_by(["s_user"]).aggregate(
+            [("n_events", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["s_user", "ev", "ns"])
+
+    per_user = (
+        mat.map_batches(_key_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("s_user")
+        .aggregate(_Sum("ev", alias_name="ev"), _Sum("ns", alias_name="ns"))
+        .map_batches(
+            lambda t: pa.table({"combined": pc.add(t.column("ev"), t.column("ns"))}),
+            batch_format="pyarrow",
+        )
+        .aggregate(_Max("combined", alias_name="max_n"))
+    )
+    hottest = int(per_user["max_n"] or 0)
     from .autoshard import range_join_auto
 
     return range_join_auto(
         events,
-        sessions.map_batches(_recast, batch_format="pyarrow").materialize(),
+        mat.select_columns(["s_user", "session_id", "t_start", "t_end"]),
         on="ts",
         by="user_id",
         lower="t_start",
         upper="t_end",
         right_by="s_user",
         num_partitions=adaptive_partitions(16, n_rows=n_events),
-        probe_left=_read(sf_dir, "events", ["user_id"]),
+        probe_hottest=hottest,
     ).select_columns(["event_id", "user_id", "ts", "session_id"])
 
 

@@ -235,3 +235,78 @@ class TestSaltedJoin:
         right = rd.from_arrow(pa.table({"rk": [2, 3, 4], "y": [20, 30, 40]}))
         out = salted_join(left, right, "k", "rk").to_pandas()
         assert sorted(out["k"]) == [2, 3]
+
+
+class TestProbeHottest:
+    """Caller-supplied ``probe_hottest`` skips the probe execution and
+    still dispatches correctly."""
+
+    def test_skips_probe_and_dispatches(self, ray_session, monkeypatch):
+        import fancyrag_ray.functions.autoshard as auto
+
+        def boom(*a, **k):  # the probe must NOT run
+            raise AssertionError("union probe executed despite probe_hottest")
+
+        monkeypatch.setattr(auto, "max_key_rows_union", boom)
+        left = _events({1: 30, 2: 10})
+        intervals = rd.from_arrow(
+            pa.table(
+                {
+                    "i_user": pa.array([1, 2], pa.int64()),
+                    "t_lo": pa.array(
+                        [pd.Timestamp("2024-01-01").value // 1000] * 2, pa.timestamp("us")
+                    ),
+                    "t_hi": pa.array(
+                        [pd.Timestamp("2024-01-02").value // 1000] * 2, pa.timestamp("us")
+                    ),
+                    "tag": pa.array([10, 30], pa.int64()),
+                }
+            )
+        )
+
+        def run(hottest, threshold):
+            return range_join_auto(
+                left, intervals, on="ts", by="user_id", lower="t_lo",
+                upper="t_hi", right_by="i_user", shard_seconds=3600,
+                num_partitions=2, hot_key_threshold=threshold,
+                probe_hottest=hottest,
+            ).to_pandas()
+
+        lo = run(hottest=5, threshold=10)     # below → unsharded, probe skipped
+        hi = run(hottest=50, threshold=10)    # above → sharded, probe skipped
+        assert _norm(lo).astype(str).equals(_norm(hi).astype(str))
+
+    def test_attribution_derived_stat_equals_union_probe(self, ray_session, monkeypatch):
+        """events_session_attribution derives the dispatcher statistic
+        from the materialized session summaries (Σ n_events + n_sessions
+        per user); it must equal what the union probe would measure over
+        (events.user_id) ∪ (session intervals.s_user)."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        import fancyrag_ray.functions.autoshard as auto
+        import fancyrag_ray.functions.relational as rel
+
+        sf = os.environ.get("GRAFT_ORACLE_SF", "/root/testdata/sf0.001")
+        seen = {}
+        real = auto.range_join_auto
+
+        def capture(*a, **k):
+            seen["hottest"] = k.get("probe_hottest")
+            return real(*a, **k)
+
+        monkeypatch.setattr(rel, "range_join_auto", capture, raising=False)
+        # relational imports range_join_auto inside the function body, so
+        # patch the source module attribute it resolves at call time
+        monkeypatch.setattr(auto, "range_join_auto", capture)
+        out = rel.events_session_attribution(sf)
+        n_rows = out.count()
+        assert n_rows == pq.read_metadata(f"{sf}/events.parquet").num_rows
+        ev = rd.read_parquet(f"{sf}/events.parquet", columns=["user_id"])
+        sess = rel.events_sessions_sharded(sf).map_batches(
+            lambda t: pa.table({"s_user": t.column("user_id").cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+        expected = auto.max_key_rows_union([(ev, "user_id"), (sess, "s_user")])
+        assert seen["hottest"] == expected
