@@ -446,13 +446,14 @@ def events_running_value(sf_dir: str) -> rd.Dataset:
 
     n = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
-    # Skew-dispatched (autoshard); the probe scans a key-only read.
-    from .autoshard import keyed_running_total_auto
+    # Skew-dispatched (autoshard); the statistic comes from the
+    # per-(table, key) probe cache — one probe per events snapshot.
+    from .autoshard import keyed_running_total_auto, max_key_rows_parquet
 
     return keyed_running_total_auto(
         ds, by="user_id", order=["ts", "event_id"], value_col="value",
         num_partitions=adaptive_partitions(16, n_rows=n),
-        probe_ds=_read(sf_dir, "events", ["user_id"]),
+        probe_hottest=max_key_rows_parquet(f"{sf_dir}/events.parquet", "user_id"),
     )
 
 

@@ -29,6 +29,8 @@ can inspect the decision via :func:`choose_windowed_path`.
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Max, Sum
@@ -56,6 +58,29 @@ def max_key_rows(ds: rd.Dataset, key: str) -> int:
     )
     out = counts.aggregate(Max("n", alias_name="max_n"))
     return int(out["max_n"] or 0)
+
+
+_KEY_STATS_CACHE: dict[tuple, int] = {}
+
+
+def max_key_rows_parquet(path: str, key: str) -> int:
+    """:func:`max_key_rows` over one parquet file's ``key`` column,
+    memoized on the file's identity (realpath, mtime_ns, size) — the
+    probe-once-per-(table, key) statistics cache. Within one process
+    (the driver's query suite, a bench rep loop) every query that
+    dispatches on the same column pays ONE probe total instead of one
+    per query; rewriting the table invalidates the entry the way a
+    stats refresh would. This is the ANALYZE-style table-statistics
+    pattern: heavy-hitter stats belong to a table snapshot, not to a
+    query execution."""
+    st = os.stat(path)
+    fp = (os.path.realpath(path), st.st_mtime_ns, st.st_size, key)
+    hit = _KEY_STATS_CACHE.get(fp)
+    if hit is not None:
+        return hit
+    val = max_key_rows(rd.read_parquet(path, columns=[key]), key)
+    _KEY_STATS_CACHE[fp] = val
+    return val
 
 
 def max_key_rows_union(probes: list[tuple[rd.Dataset, str]]) -> int:
@@ -177,14 +202,18 @@ def rolling_window_aggregate_auto(
     num_partitions: int = 16,
     hot_key_threshold: int = HOT_KEY_THRESHOLD_ROWS,
     probe_ds: rd.Dataset | None = None,
+    probe_hottest: int | None = None,
 ) -> rd.Dataset:
     """``relational.rolling_window_aggregate`` with skew dispatch.
-    ``probe_ds``: optional key-only stand-in for the probe (see
-    :func:`asof_join_auto`)."""
+    ``probe_ds``: optional key-only stand-in for the probe;
+    ``probe_hottest``: caller-supplied statistic that skips the probe
+    (see :func:`asof_join_auto` / :func:`max_key_rows_parquet`)."""
     from . import relational, timeshard
 
-    probe = probe_ds if probe_ds is not None else ds
-    if choose_windowed_path(max_key_rows(probe, by), hot_key_threshold) == "sharded":
+    hottest = probe_hottest if probe_hottest is not None else max_key_rows(
+        probe_ds if probe_ds is not None else ds, by
+    )
+    if choose_windowed_path(hottest, hot_key_threshold) == "sharded":
         return timeshard.rolling_window_aggregate_timesharded(
             ds, on=on, by=by, value_col=value_col, window_seconds=window_seconds,
             out_sum=out_sum, out_n=out_n, shard_seconds=shard_seconds,
@@ -246,14 +275,18 @@ def keyed_running_total_auto(
     num_partitions: int = 16,
     hot_key_threshold: int = HOT_KEY_THRESHOLD_ROWS,
     probe_ds: rd.Dataset | None = None,
+    probe_hottest: int | None = None,
 ) -> rd.Dataset:
     """``analytics.keyed_running_total`` with skew dispatch.
-    ``probe_ds``: optional key-only stand-in for the probe (see
-    :func:`asof_join_auto`)."""
+    ``probe_ds``: optional key-only stand-in for the probe;
+    ``probe_hottest``: caller-supplied statistic that skips the probe
+    (see :func:`asof_join_auto` / :func:`max_key_rows_parquet`)."""
     from . import analytics, timeshard
 
-    probe = probe_ds if probe_ds is not None else ds
-    if choose_windowed_path(max_key_rows(probe, by), hot_key_threshold) == "sharded":
+    hottest = probe_hottest if probe_hottest is not None else max_key_rows(
+        probe_ds if probe_ds is not None else ds, by
+    )
+    if choose_windowed_path(hottest, hot_key_threshold) == "sharded":
         return timeshard.keyed_running_total_timesharded(
             ds, by=by, order=order, value_col=value_col, out_col=out_col,
             shard_seconds=shard_seconds, num_partitions=num_partitions,

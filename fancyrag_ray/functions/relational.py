@@ -773,10 +773,11 @@ def events_rolling_hour(sf_dir: str) -> rd.Dataset:
         )
 
     n_events = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
-    # Skew-dispatched (autoshard): probe a key-only read, not the
-    # _cents pipeline tail — probing the tail would execute the whole
-    # transform once just to count keys.
-    from .autoshard import rolling_window_aggregate_auto
+    # Skew-dispatched (autoshard): the statistic comes from the
+    # per-(table, key) probe cache — one probe per events snapshot for
+    # the whole suite, not one per query (and never the _cents pipeline
+    # tail, which would execute the whole transform just to count keys).
+    from .autoshard import max_key_rows_parquet, rolling_window_aggregate_auto
 
     return rolling_window_aggregate_auto(
         ds.map_batches(_cents, batch_format="pyarrow"),
@@ -786,7 +787,7 @@ def events_rolling_hour(sf_dir: str) -> rd.Dataset:
         window_seconds=3600,
         out_sum="win_sum_cents",
         num_partitions=adaptive_partitions(16, n_rows=n_events),
-        probe_ds=_read(sf_dir, "events", ["user_id"]),
+        probe_hottest=max_key_rows_parquet(f"{sf_dir}/events.parquet", "user_id"),
     ).select_columns(["event_id", "user_id", "ts", "win_sum_cents", "win_n"])
 
 
@@ -1065,13 +1066,19 @@ def events_last_order(sf_dir: str) -> rd.Dataset:
 
     reduced = orders.map_batches(_pre, batch_format="pyarrow").materialize()
     n_events = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
-    # Route through the skew dispatcher (autoshard): the probe scans a
-    # key-only read of the fact side (one column's IO) and the already-
-    # materialized reduced right side; on unskewed data it picks this
-    # exact unsharded plan, on a hot user it switches to the
-    # time-sharded plan — same semantics, same SQL oracle either way.
-    from .autoshard import asof_join_auto
+    # Route through the skew dispatcher (autoshard) on CACHED per-
+    # (table, key) statistics: one probe per events / orders snapshot
+    # serves the whole suite. The combined statistic is the sound upper
+    # bound max_user(events) + max_custkey(orders) ≥ the exact combined
+    # count of any one key (and ≥ the reduced right side's, which
+    # dedups (custkey, orderdate)) — an over-estimate can only dispatch
+    # toward the sharded plan, which is result-equal by the planted
+    # tests. On unskewed data it picks this exact unsharded plan.
+    from .autoshard import asof_join_auto, max_key_rows_parquet
 
+    hottest_bound = max_key_rows_parquet(
+        f"{sf_dir}/events.parquet", "user_id"
+    ) + max_key_rows_parquet(f"{sf_dir}/orders.parquet", "o_custkey")
     return asof_join_auto(
         events,
         reduced,
@@ -1080,7 +1087,7 @@ def events_last_order(sf_dir: str) -> rd.Dataset:
         right_on="o_orderdate",
         right_by="o_custkey",
         num_partitions=adaptive_partitions(16, n_rows=n_events),
-        probe_left=_read(sf_dir, "events", ["user_id"]),
+        probe_hottest=hottest_bound,
     )
 
 

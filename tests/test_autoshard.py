@@ -310,3 +310,29 @@ class TestProbeHottest:
         )
         expected = auto.max_key_rows_union([(ev, "user_id"), (sess, "s_user")])
         assert seen["hottest"] == expected
+
+
+class TestStatsCache:
+    def test_parquet_stats_cache_memo_and_invalidation(self, ray_session, tmp_path, monkeypatch):
+        """One probe per (file identity, key): the second call is a memo
+        hit (no probe execution); rewriting the file invalidates."""
+        import time
+
+        import pyarrow.parquet as pq
+
+        import fancyrag_ray.functions.autoshard as auto
+
+        p = str(tmp_path / "t.parquet")
+        pq.write_table(pa.table({"k": pa.array([1, 1, 1, 2], pa.int64())}), p)
+        assert auto.max_key_rows_parquet(p, "k") == 3
+        calls = []
+        real = auto.max_key_rows
+        monkeypatch.setattr(
+            auto, "max_key_rows", lambda *a, **k: (calls.append(1), real(*a, **k))[1]
+        )
+        assert auto.max_key_rows_parquet(p, "k") == 3  # memo hit
+        assert calls == []
+        time.sleep(0.01)  # ensure a distinct mtime_ns
+        pq.write_table(pa.table({"k": pa.array([5] * 7, pa.int64())}), p)
+        assert auto.max_key_rows_parquet(p, "k") == 7  # stats refresh
+        assert calls == [1]
