@@ -321,6 +321,31 @@ def hot_keys(ds: rd.Dataset, key: str, threshold: int) -> list:
     return hot.unique(key)
 
 
+_HOT_KEYS_CACHE: dict[tuple, list] = {}
+
+
+def hot_keys_parquet(path: str, key: str, threshold: int) -> list:
+    """:func:`hot_keys` over one parquet file's ``key`` column, memoized
+    on the file's identity like :func:`max_key_rows_parquet` — and
+    derived for FREE from the scalar stats cache when possible: if the
+    densest key is already known to be ≤ threshold, the hot set is
+    provably empty with no probe at all (the common case: one scalar
+    probe per table serves both the windowed dispatchers and the salted
+    join)."""
+    st = os.stat(path)
+    base = (os.path.realpath(path), st.st_mtime_ns, st.st_size, key)
+    mx = _KEY_STATS_CACHE.get(base)
+    if mx is not None and mx <= threshold:
+        return []
+    fp = base + (threshold,)
+    hit = _HOT_KEYS_CACHE.get(fp)
+    if hit is not None:
+        return hit
+    val = hot_keys(rd.read_parquet(path, columns=[key]), key, threshold)
+    _HOT_KEYS_CACHE[fp] = val
+    return val
+
+
 def salted_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -329,6 +354,7 @@ def salted_join(
     n_salts: int = 16,
     hot_threshold: int = HOT_KEY_THRESHOLD_ROWS,
     num_partitions: int | None = None,
+    probe_hot: list | None = None,
 ) -> rd.Dataset:
     """Skew-safe inner hash join — the JOIN-side sibling of the
     time-sharded window family: Ray's hash join sends every row of a
@@ -348,14 +374,17 @@ def salted_join(
     inherent to the join, but the shuffle cost multiplies). Fine for
     the events⋈customer call sites this serves; to reuse against a
     possibly-skewed right side, probe both sides (``hot_keys`` on each)
-    and pass the bigger one as ``left``."""
+    and pass the bigger one as ``left``.
+
+    ``probe_hot``: caller-supplied hot-key set (e.g. from the
+    :func:`hot_keys_parquet` snapshot cache) — skips the probe."""
     import numpy as np
     import pyarrow.compute as pc
     import ray
 
     from ..util import adaptive_partitions
 
-    hot = hot_keys(left, left_key, hot_threshold)
+    hot = probe_hot if probe_hot is not None else hot_keys(left, left_key, hot_threshold)
     if not hot:
         return left.join(
             right, join_type="inner",
@@ -409,7 +438,14 @@ def events_value_by_segment(sf_dir: str) -> rd.Dataset:
 
     events = _rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
     cust = _rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
-    joined = salted_join(events, cust, "user_id", "c_custkey")
+    # hot-key set from the snapshot cache (free when the windowed
+    # dispatchers already probed events.user_id this process)
+    joined = salted_join(
+        events, cust, "user_id", "c_custkey",
+        probe_hot=hot_keys_parquet(
+            f"{sf_dir}/events.parquet", "user_id", HOT_KEY_THRESHOLD_ROWS
+        ),
+    )
 
     def partial(t: pa.Table) -> pa.Table:
         v = t.column("value").to_numpy(zero_copy_only=False)

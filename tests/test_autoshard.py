@@ -336,3 +336,26 @@ class TestStatsCache:
         pq.write_table(pa.table({"k": pa.array([5] * 7, pa.int64())}), p)
         assert auto.max_key_rows_parquet(p, "k") == 7  # stats refresh
         assert calls == [1]
+
+    def test_hot_keys_parquet_free_from_scalar_cache(self, ray_session, tmp_path, monkeypatch):
+        """When the scalar snapshot stat already shows the densest key
+        ≤ threshold, the hot set is [] with NO probe; above threshold
+        the set probe runs (and memoizes)."""
+        import pyarrow.parquet as pq
+
+        import fancyrag_ray.functions.autoshard as auto
+
+        p = str(tmp_path / "h.parquet")
+        pq.write_table(pa.table({"k": pa.array([1] * 9 + [2], pa.int64())}), p)
+        assert auto.max_key_rows_parquet(p, "k") == 9  # primes the scalar cache
+
+        def boom(*a, **k):
+            raise AssertionError("hot_keys probe ran despite scalar-cache proof")
+
+        monkeypatch.setattr(auto, "hot_keys", boom)
+        assert auto.hot_keys_parquet(p, "k", threshold=20) == []  # 9 ≤ 20, free
+        monkeypatch.undo()
+        hot = auto.hot_keys_parquet(p, "k", threshold=5)  # 9 > 5 → probe
+        assert list(hot) == [1]
+        monkeypatch.setattr(auto, "hot_keys", boom)
+        assert list(auto.hot_keys_parquet(p, "k", threshold=5)) == [1]  # memo hit
