@@ -286,17 +286,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         reduce) on driver documents — oracle-checked end-to-end against
         ``KG_FLAGSHIP_EDGES_SQL``. Uses the ``text-exact`` profile so
         the chunk split is SQL-reproducible (same contract as the
-        ``chunk_documents`` oracle)."""
-        import ray.data as rd
+        ``chunk_documents`` oracle). Shares the per-snapshot memoized
+        build with every ``entity_*`` graph query (graph._flagship_edges)
+        — one DAG execution serves the whole graph family."""
+        from fancyrag_ray.functions.graph import _flagship_edges
 
-        from fancyrag_ray.config import PROFILES, PipelineConfig
-        from fancyrag_ray.pipelines.kg_build import run_kg_build
-        from fancyrag_ray.sources.io import interleave_documents
-
-        docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        inter = docs.map_batches(interleave_documents, batch_format="pyarrow")
-        cfg = PipelineConfig(profile=PROFILES["text-exact"])
-        return run_kg_build(inter, alias_table=None, cfg=cfg, emit_cooccurrence=True).edges
+        return _flagship_edges(sf_dir)
 
     def entity_degree_hist(sf_dir: str):
         """Degree distribution of the flagship KG — oracle-checked

@@ -43,17 +43,47 @@ from ..util import (
 )
 
 
+_EDGES_CACHE: dict[tuple, rd.Dataset] = {}
+
+
 def _flagship_edges(sf_dir: str) -> rd.Dataset:
     """Edge table of the full flagship DAG with the SQL-reproducible
-    ``text-exact`` chunk profile (same contract as ``kg_flagship_edges``)."""
+    ``text-exact`` chunk profile (same contract as ``kg_flagship_edges``).
+
+    MATERIALIZED and memoized per (documents snapshot, Ray job): every
+    graph query over one corpus shares the same edge table, so the
+    first caller pays the chunk→extract→link→merge build once and the
+    rest read the object-store blocks — the query-suite equivalent of
+    writing the edge table to storage and reading it back (which is
+    exactly what the at-scale deployment does via the resumable build's
+    persisted edges). Keyed on the Ray job id so a fresh ``ray.init``
+    in the same process can never see another session's object refs."""
+    import os
+
     from ..config import PROFILES, PipelineConfig
     from ..pipelines.kg_build import run_kg_build
     from ..sources.io import interleave_documents
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    p = f"{sf_dir}/documents.parquet"
+    st = os.stat(p)
+    try:
+        import ray
+
+        job = ray.get_runtime_context().get_job_id()
+    except Exception:
+        job = None
+    fp = (os.path.realpath(p), st.st_mtime_ns, st.st_size, job)
+    hit = _EDGES_CACHE.get(fp)
+    if hit is not None:
+        return hit
+    docs = rd.read_parquet(p, columns=["doc_id", "text"])
     inter = docs.map_batches(interleave_documents, batch_format="pyarrow")
     cfg = PipelineConfig(profile=PROFILES["text-exact"])
-    return run_kg_build(inter, alias_table=None, cfg=cfg, emit_cooccurrence=True).edges
+    edges = run_kg_build(
+        inter, alias_table=None, cfg=cfg, emit_cooccurrence=True
+    ).edges.materialize()
+    _EDGES_CACHE[fp] = edges
+    return edges
 
 
 def degree_hist(edges: rd.Dataset, src_col: str = "src_id", dst_col: str = "dst_id") -> rd.Dataset:
