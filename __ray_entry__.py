@@ -77,6 +77,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         return ngram_jaccard_duplicates(docs, jaccard_threshold=0.8)
 
+    def dedup_clusters(sf_dir: str):
+        """Near-dup cluster assignment: exact n-gram-Jaccard pairs →
+        connected components → (doc_id, cluster_id=min doc, cluster_size);
+        the keep/drop decision every corpus dedup pipeline ends with,
+        transitively closed (A~B, B~C ⇒ one cluster) — recursive-CTE
+        oracled."""
+        import ray.data as rd
+
+        from fancyrag_ray.functions.dedup import dedup_clusters as _dc
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        return _dc(docs)
+
     def decontaminate_documents(sf_dir: str):
         """Benchmark decontamination: flag corpus docs sharing any
         8-word shingle with the md5-sampled held-out set — hash-exact
@@ -423,6 +436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii_documents": Q.redact_pii_documents,
         "gopher_quality_filter": Q.gopher_quality_filter,
         "dedup_paragraphs": D.dedup_paragraphs,
+        "dedup_clusters": dedup_clusters,
         "fulltext_topk_chunks": T.fulltext_topk_chunks,
         "fuzzy_term_matches": T.fuzzy_term_matches,
         "sample_per_source": T.sample_per_source,
@@ -571,6 +585,10 @@ def oracle_sql() -> dict[str, str]:
         # Dolma-style corpus-wide paragraph dedup (count>1 paragraphs
         # removed everywhere; ordered per-doc rebuild) — hash-exact
         "dedup_paragraphs": D.DEDUP_PARAGRAPHS_SQL,
+        # near-dup cluster assignment: exact Jaccard pairs transitively
+        # closed by a recursive CTE; cluster_id = LEAST over the
+        # component (matches the engine's padded-string hash-min)
+        "dedup_clusters": D.DEDUP_CLUSTERS_SQL,
         # integer-arithmetic PageRank (micro-unit ranks; floor division
         # and int sums are engine-independent) vs one CTE per iteration
         # through the full flagship DAG — the iterative family's first

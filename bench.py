@@ -511,6 +511,9 @@ def main() -> None:
             "dedup_substrings": timed(
                 __import__("fancyrag_ray.functions.dedup", fromlist=["d"]).dedup_substrings
             ),
+            "dedup_clusters": timed(
+                __import__("__ray_entry__").queries()["dedup_clusters"]
+            ),
             "events_funnel": timed(R.events_funnel),
             "events_retention": timed(R.events_retention),
             "shipping_priority": timed(R.shipping_priority),

@@ -778,6 +778,118 @@ WHERE inter::DOUBLE / (na.n + nb.n - inter) >= 0.8
 """
 
 
+def dedup_clusters(
+    docs: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.8,
+    df_cap: int = 256,
+) -> rd.Dataset:
+    """Near-duplicate CLUSTER assignment — the step every corpus dedup
+    pipeline runs after pair generation: exact df-capped n-gram Jaccard
+    pairs (``ngram_jaccard_duplicates``) → connected components →
+    ``(doc_id, cluster_id, cluster_size)`` with cluster_id = the
+    cluster's minimum doc id, i.e. the canonical keeper (``keep`` ≡
+    ``doc_id == cluster_id``). Completes the dedup family end-to-end:
+    pairs tell you WHO matches, clusters tell you WHAT TO DROP — and the
+    transitive closure matters (A~B, B~C ⇒ {A,B,C} is ONE cluster even
+    when A≁C directly). DuckDB-oracled: the mirror recomputes the exact
+    pairs and closes them with a recursive CTE.
+
+    Scale shape: the component pass runs over the PAIR table (bounded by
+    dup density × df_cap², ≪ corpus — the tiered ``connected_components``
+    takes its contraction/labelprop path beyond driver memory). Doc ids
+    ride the component pass as zero-padded fixed-width strings so the
+    components' lexicographic hash-min equals the numeric min
+    (non-negative ids), then cast back to int64. ``cluster_size`` is a
+    block-local Arrow group-count after ONE hash co-partition on
+    cluster_id (clusters land whole per block) — no join, no second
+    shuffle."""
+    import pyarrow.compute as pc
+
+    pairs = ngram_jaccard_duplicates(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        jaccard_threshold=jaccard_threshold,
+        df_cap=df_cap,
+    )
+
+    def pad(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": pc.utf8_lpad(t.column("doc_a").cast(pa.string()), 20, padding="0"),
+                "b": pc.utf8_lpad(t.column("doc_b").cast(pa.string()), 20, padding="0"),
+            }
+        )
+
+    comp = connected_components(
+        pairs.map_batches(pad, batch_format="pyarrow"), src_col="a", dst_col="b"
+    )
+
+    def unpad(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("node").cast(pa.int64()),
+                "cluster_id": t.column("component").cast(pa.int64()),
+            }
+        )
+
+    comp_int = comp.map_batches(unpad, batch_format="pyarrow").materialize()
+    n = comp_int.count()
+    if n == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "cluster_id": pa.array([], pa.int64()),
+                    "cluster_size": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    def add_size(t: pa.Table) -> pa.Table:
+        g = t.group_by(["cluster_id"]).aggregate([([], "count_all")])
+        idx = pc.index_in(t.column("cluster_id"), g.column("cluster_id"))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "cluster_id": t.column("cluster_id"),
+                "cluster_size": pc.take(g.column("count_all"), idx).cast(pa.int64()),
+            }
+        )
+
+    return hash_partitioned_combine(
+        comp_int, ["cluster_id"], add_size, adaptive_partitions(8, n_rows=n)
+    )
+
+
+DEDUP_CLUSTERS_SQL = (
+    "WITH RECURSIVE pairs AS (\n"
+    + NGRAM_JACCARD_SQL
+    + """),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b
+),
+comp AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b))::BIGINT AS cluster_id FROM reach GROUP BY a
+)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size
+FROM comp
+"""
+)
+
+
 def decontaminate_documents(
     docs: rd.Dataset,
     id_col: str = "doc_id",

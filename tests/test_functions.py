@@ -298,6 +298,46 @@ class TestNearDup:
         assert ngram_jaccard("a b c d e", "a b c d e") == 1.0
         assert ngram_jaccard("a b c d e", "x y z w v") == 0.0
 
+    def test_dedup_clusters_transitive(self, ray_session):
+        """A~B and B~C at threshold but A~C below it must still land in
+        ONE cluster (transitive closure), keyed by the NUMERIC min doc id
+        — doc 2 must beat doc 10 despite '10' < '2' lexicographically."""
+        from fancyrag_ray.functions.dedup import dedup_clusters, ngram_jaccard
+
+        base = [f"w{k}" for k in range(50)]
+        b = list(base)
+        b[25] = "xrep"
+        c = list(b)
+        c[10] = "yrep"
+        a_txt, b_txt, c_txt = " ".join(base), " ".join(b), " ".join(c)
+        assert ngram_jaccard(a_txt, b_txt) >= 0.8
+        assert ngram_jaccard(b_txt, c_txt) >= 0.8
+        assert ngram_jaccard(a_txt, c_txt) < 0.8
+        t = pa.table(
+            {
+                "doc_id": pa.array([10, 2, 30, 99], pa.int64()),
+                "text": pa.array([a_txt, b_txt, c_txt, "totally unrelated text here"], pa.string()),
+            }
+        )
+        out = dedup_clusters(rd.from_arrow(t)).to_pandas()
+        assert dict(zip(out["doc_id"], out["cluster_id"])) == {2: 2, 10: 2, 30: 2}
+        assert set(out["cluster_size"]) == {3}
+        assert str(out["doc_id"].dtype) == "int64" and str(out["cluster_size"].dtype) == "int64"
+
+    def test_dedup_clusters_clean_empty(self, ray_session):
+        """No dup pairs ⇒ empty result with the stable 3-column schema."""
+        from fancyrag_ray.functions.dedup import dedup_clusters
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["alpha beta gamma delta", "one two three four"], pa.string()),
+            }
+        )
+        out = dedup_clusters(rd.from_arrow(t))
+        assert out.count() == 0
+        assert out.schema().names == ["doc_id", "cluster_id", "cluster_size"]
+
     def test_ngram_jaccard_duplicates_planted(self, planted, ray_session):
         """The distributed join-based pair metric must equal the exact
         per-pair scalar ngram_jaccard on every reported pair."""
