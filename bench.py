@@ -470,6 +470,9 @@ def main() -> None:
             "embedding_kmeans": timed(
                 __import__("fancyrag_ray.functions.clustering", fromlist=["c"]).embedding_kmeans
             ),
+            "embedding_semdedup": timed(
+                __import__("fancyrag_ray.functions.clustering", fromlist=["c"]).embedding_semdedup
+            ),
             "knn_cosine_pq": timed(S.knn_cosine_pq),
             # round-4 corpus lexical stats + PMI + link prediction
             "top_bigrams": timed(

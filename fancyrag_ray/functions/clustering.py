@@ -178,3 +178,116 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 10) -> rd.Dataset:
         .aggregate(Sum("n_members", alias_name="n_members"))
         .sort("cluster")
     )
+
+
+def semdedup_embeddings(
+    ds: rd.Dataset,
+    k: int = 8,
+    iters: int = 10,
+    cos_threshold: float = 0.97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public recipe):
+    semantic dedup by k-means bucketing + WITHIN-cluster pairwise cosine.
+    Returns the DROPPED rows ``(vec_id, kept_vec_id, cosine, cluster)``:
+    a vector is dropped when some LOWER-id vector in its k-means cluster
+    has cosine ≥ ``cos_threshold``; ``kept_vec_id`` is the most-similar
+    such earlier vector (deterministic: ties break to the lowest index
+    via argmax-first). Survivors = all ids not in the output.
+
+    Scale shape — the whole point of the recipe: the O(n²) cosine work
+    is bounded per CLUSTER, never corpus-wide. One Lloyd pass
+    (``kmeans_embeddings``: blocks emit k partial rows, vectors never
+    shuffle), one assignment ``map_batches`` that keeps the vector on
+    the row, then ONE hash co-partition on ``cluster`` and a per-block
+    dense gram per cluster group. Per-aggregator memory is
+    max_cluster_rows × dim × 8 B — at corpus scale you grow ``k``
+    proportionally (SemDeDup uses k ≈ n/10⁴) so cluster size, and with
+    it both the gram and the block, stays constant. Exact duplicates
+    always share an argmin cluster, so recall on true copies is 1.0;
+    near-dups straddling a Voronoi boundary are the recipe's documented
+    (small) miss, priced in the paper.
+
+    Iterative/float (k-means + cosine) — rows-only driver check; planted
+    copies/near-dups and the boundary-miss caveat are pinned in
+    tests/test_clustering.py. On the driver's random gaussian
+    embeddings the default threshold correctly yields 0 rows (same
+    behavior and reasoning as ``embedding_near_duplicates``)."""
+    from ..util import adaptive_partitions, hash_partitioned_combine
+
+    ds = ds.materialize()
+    n_rows = ds.count()
+    centroids, _ = kmeans_embeddings(ds, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    c_ref = ray.put(centroids)
+
+    def assign_keep_vec(t: pa.Table) -> pa.Table:
+        cents = ray.get(c_ref)
+        m = _matrix(t, vec_col)
+        d = -2.0 * (m @ cents.T) + (cents * cents).sum(axis=1)[None, :]
+        a = np.argmin(d, axis=1).astype(np.int32)
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "cluster": pa.array(a, pa.int32()),
+                vec_col: t.column(vec_col),
+            }
+        )
+
+    assigned = ds.map_batches(assign_keep_vec, batch_format="pyarrow")
+
+    _empty = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "kept_vec_id": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+            "cluster": pa.array([], pa.int32()),
+        }
+    )
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        clusters = t.column("cluster").to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        m = _matrix(t, vec_col)
+        norms = np.linalg.norm(m, axis=1)
+        normed = m / np.maximum(norms, 1e-30)[:, None]
+        out_v, out_k, out_c, out_cl = [], [], [], []
+        for cl in np.unique(clusters):
+            sel = np.flatnonzero(clusters == cl)
+            if len(sel) < 2:
+                continue
+            order = sel[np.argsort(ids[sel], kind="stable")]
+            s, sid = normed[order], ids[order]
+            g = s @ s.T
+            gl = np.tril(g, -1)  # row j vs strictly-earlier ids only
+            best = gl.argmax(axis=1)
+            bestv = gl[np.arange(len(sid)), best]
+            dup = bestv >= cos_threshold
+            if dup.any():
+                out_v.append(sid[dup])
+                out_k.append(sid[best[dup]])
+                out_c.append(bestv[dup])
+                out_cl.append(np.full(int(dup.sum()), cl, dtype=np.int32))
+        if not out_v:
+            return _empty
+        return pa.table(
+            {
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "kept_vec_id": pa.array(np.concatenate(out_k), pa.int64()),
+                "cosine": pa.array(np.concatenate(out_c), pa.float64()),
+                "cluster": pa.array(np.concatenate(out_cl), pa.int32()),
+            }
+        )
+
+    return hash_partitioned_combine(
+        assigned, ["cluster"], block, adaptive_partitions(8, n_rows=n_rows)
+    )
+
+
+def embedding_semdedup(sf_dir: str, k: int = 8, iters: int = 10, cos_threshold: float = 0.97) -> rd.Dataset:
+    """Driver query: SemDeDup dropped-row report over the driver
+    embeddings (see ``semdedup_embeddings``)."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return semdedup_embeddings(ds, k=k, iters=iters, cos_threshold=cos_threshold)

@@ -102,3 +102,50 @@ class TestKmeans:
         assert list(out["cluster"]) == list(range(8))
         n = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet").count()
         assert out["n_members"].sum() == n
+
+
+class TestSemDeDup:
+    def test_planted_copies_dropped_keep_min_id(self, ray_session):
+        """Exact copies + a near-dup are dropped toward the lowest id in
+        their semantic cluster; well-separated singletons survive."""
+        from fancyrag_ray.functions.clustering import semdedup_embeddings
+
+        # sep=3: same-cluster cosines top out ~0.98 < the 0.999 threshold,
+        # so only the planted copies are dups (at sep=50 every cluster is
+        # an angular near-clique and ALL members dedup — correct SemDeDup
+        # behavior, wrong fixture for this assertion)
+        t, vecs, _ = _planted(k=4, per=30, dim=16, sep=3.0, seed=9)
+        base = vecs[5]
+        extra = np.stack([base, base, base * 1.0001 + 0.001])  # ids 120,121,122
+        allv = np.concatenate([vecs, extra])
+        ids = np.arange(len(allv), dtype=np.int64)
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array([v.astype(np.float32) for v in allv], pa.list_(pa.float32())),
+            }
+        )
+        out = semdedup_embeddings(rd.from_arrow(tbl), k=4, iters=5, cos_threshold=0.999).to_pandas()
+        dropped = dict(zip(out["vec_id"], out["kept_vec_id"]))
+        # 120/121/122 duplicate id 5 (all land in its argmin cluster)
+        assert set(dropped) == {120, 121, 122}
+        assert all(kept in {5, 120, 121} for kept in dropped.values())
+        assert dropped[120] == 5 and dropped[121] in {5, 120}
+        assert (out["cosine"] >= 0.999).all()
+
+    def test_random_vectors_yield_no_drops(self, ray_session):
+        """Pure gaussian vectors (pairwise cosine ~0) must survive —
+        the driver-embedding geometry."""
+        from fancyrag_ray.functions.clustering import semdedup_embeddings
+
+        rng = np.random.default_rng(11)
+        vecs = rng.normal(0, 1, (120, 16))
+        t = pa.table(
+            {
+                "vec_id": pa.array(np.arange(120, dtype=np.int64), pa.int64()),
+                "embedding": pa.array([v.astype(np.float32) for v in vecs], pa.list_(pa.float32())),
+            }
+        )
+        out = semdedup_embeddings(rd.from_arrow(t), k=3, iters=4, cos_threshold=0.999)
+        assert out.count() == 0
+        assert out.schema().names == ["vec_id", "kept_vec_id", "cosine", "cluster"]
