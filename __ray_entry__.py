@@ -441,6 +441,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_monthly_dense": R.orders_monthly_dense,
         "order_status_transitions": R.order_status_transitions,
         "customer_order_counts": R.customer_order_counts,
+        # correlated-EXISTS semi-join (TPC-H Q4 shape), new this round
+        "late_shipment_priority": R.late_shipment_priority,
         "part_distinct_suppliers": R.part_distinct_suppliers,
         "redact_pii_documents": Q.redact_pii_documents,
         "gopher_quality_filter": Q.gopher_quality_filter,
@@ -456,6 +458,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_clustering_coefficient": lambda sf: __import__(
             "fancyrag_ray.functions.graph", fromlist=["g"]
         ).entity_clustering_coefficient(sf),
+        # k-core peel through the full flagship DAG (bounded-round
+        # chained-CTE mirror), new this round
+        "entity_kcore": lambda sf: __import__(
+            "fancyrag_ray.functions.graph", fromlist=["g"]
+        ).entity_kcore(sf),
         # -- 27..43: r04-only-green accumulating a second driver row
         # (flagship end-to-end + graph analytics through the whole
         # chunk→extract→link→merge DAG, the composed funnel, census,
@@ -484,10 +491,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_order_priorities": R.distinct_order_priorities,
         "token_histogram": T.token_histogram,
         "quality_scores": T.quality_scores,
+        # ---- block 2 starts here: the cap lands after quality_scores —
+        # doc_rollup / token_counts / sample_documents_hash rotated past
+        # it this round to make room for the two first-timers above
+        # (late_shipment_priority, entity_kcore); all three are
+        # r03-driver-green and keep their pytest oracle rows ----
         "doc_rollup": T.doc_rollup,
         "token_counts": T.token_counts,
         "sample_documents_hash": T.sample_documents_hash,
-        # ---- block 2: double-driver-green (r03+r04) demotees — each
+        # ---- (continued) double-driver-green (r03+r04) demotees — each
         # keeps its pytest oracle row via test_oracle.py ----
         "pricing_summary": R.pricing_summary,
         "revenue_by_nation": R.revenue_by_nation,
@@ -533,6 +545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "fancyrag_ray.stages.multimodal", fromlist=["m"]
         ).media_frame_manifest(sf),
         "knn_cosine_lsh": S.knn_cosine_lsh,
+        "knn_cosine_mmr": S.knn_cosine_mmr,
         "knn_cosine_ivf": S.knn_cosine_ivf,
         "knn_cosine_ivf_indexed": knn_cosine_ivf_indexed,
         "knn_cosine_pq": S.knn_cosine_pq,
@@ -648,6 +661,9 @@ def oracle_sql() -> dict[str, str]:
         ).CORPUS_DATACARD_SQL,
         # LEFT OUTER enrichment join, pre-aggregated before the shuffle
         "customer_order_counts": R.CUSTOMER_ORDER_COUNTS_SQL,
+        # correlated-EXISTS semi-join (TPC-H Q4 shape): the engine's
+        # per-order MAX(l_shipdate) reduction ⟺ EXISTS(shipdate > cutoff)
+        "late_shipment_priority": R.LATE_SHIPMENT_PRIORITY_SQL,
         # skew-safe salted join demo query (micro-integer value sums)
         "events_value_by_segment": __import__(
             "fancyrag_ray.functions.autoshard", fromlist=["a"]
@@ -657,6 +673,9 @@ def oracle_sql() -> dict[str, str]:
         # recursive-CTE MIN(d) — the iterative family's 2nd exact oracle
         "entity_clustering_coefficient": G.entity_clustering_coefficient_sql(),
         "entity_bfs_distances": G.entity_bfs_distances_sql(),
+        # bounded-round k-core peel: one chained CTE per round makes the
+        # iterative peel EXACTLY SQL-expressible (fixpoint rounds no-op)
+        "entity_kcore": G.entity_kcore_sql(),
         # the time-sharded variants are semantically identical, so they
         # share the unsharded operators' oracles verbatim
         "events_last_order_sharded": R.EVENTS_LAST_ORDER_SQL,

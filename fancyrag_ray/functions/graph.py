@@ -1153,6 +1153,134 @@ def entity_bfs_distances(sf_dir: str, max_depth: int = 8) -> rd.Dataset:
     )
 
 
+def kcore_subgraph(
+    edges: rd.Dataset,
+    k: int = 3,
+    max_rounds: int = 8,
+    src_col: str = "src_id",
+    dst_col: str = "dst_id",
+) -> rd.Dataset:
+    """k-core peeling (iteratively drop nodes with degree < ``k``) over an
+    undirected view of ``edges`` — the standard graph-density QA primitive
+    the reference delegates to Neo4j/GDS. Returns ``(node, core_degree)``
+    for nodes surviving ``max_rounds`` peel rounds (peeling is monotone,
+    so once a round removes nothing the result is the true k-core and the
+    engine stops early; the bounded-round definition is what makes the
+    chained-CTE SQL mirror EXACT even on adversarial graphs that need
+    more rounds than the cap).
+
+    Per round the EDGES stay distributed: degrees reduce per block before
+    an O(nodes) combine, the survivor set ships once (``ray.put``) and
+    every edge block is filtered with two vectorized ``pc.is_in`` probes.
+    Driver state is one O(nodes) degree vector per round — the same
+    documented bound as :func:`pagerank`'s broadcast tier and
+    :func:`entity_bfs_distances`' frontier."""
+
+    def und_partial(t: pa.Table) -> pa.Table:
+        a, b = t.column(src_col), t.column(dst_col)
+        keep = pc.invert(pc.equal(a, b))
+        fwd = pa.table({"a": a.filter(keep), "b": b.filter(keep)})
+        rev = pa.table({"a": b.filter(keep), "b": a.filter(keep)})
+        return pa.concat_tables([fwd, rev]).group_by(["a", "b"]).aggregate([])
+
+    cur = edges.map_batches(und_partial, batch_format="pyarrow", batch_size=None).materialize()
+    schema = cur.schema()
+    node_type = schema.types[0] if schema is not None and schema.names else pa.string()
+
+    def empty() -> rd.Dataset:
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], node_type), "core_degree": pa.array([], pa.int64())})
+        )
+
+    n_cur = cur.count()
+    if n_cur == 0:
+        return empty()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["a"]).aggregate([([], "count_all")])
+        return g.rename_columns(["a", "deg"])
+
+    def deg_combine(t: pa.Table) -> pa.Table:
+        return t.group_by(["a"]).aggregate([("deg", "sum")]).rename_columns(["a", "deg"])
+
+    for _ in range(max_rounds):
+        deg = hash_partitioned_combine(
+            cur.map_batches(deg_partial, batch_format="pyarrow", batch_size=None),
+            ["a"],
+            deg_combine,
+            adaptive_partitions(8, n_rows=n_cur),
+        ).to_pandas()  # O(nodes) — documented driver bound
+        nodes = deg["a"].to_numpy()
+        keep = deg["deg"].to_numpy() >= k
+        if keep.all():
+            break  # fixpoint: every further round is a no-op (== full-R SQL)
+        surv = nodes[keep]
+        if len(surv) == 0:
+            return empty()
+        s_ref = ray.put(pa.array(surv, node_type))
+
+        def filt(t: pa.Table) -> pa.Table:
+            s = ray.get(s_ref)
+            m = pc.and_(
+                pc.is_in(t.column("a"), value_set=s), pc.is_in(t.column("b"), value_set=s)
+            )
+            return t.filter(m)
+
+        cur = cur.map_batches(filt, batch_format="pyarrow", batch_size=None).materialize()
+        n_cur = cur.count()
+        if n_cur == 0:
+            return empty()
+
+    final = hash_partitioned_combine(
+        cur.map_batches(deg_partial, batch_format="pyarrow", batch_size=None),
+        ["a"],
+        deg_combine,
+        adaptive_partitions(8, n_rows=n_cur),
+    )
+    return final.map_batches(
+        lambda t: t.rename_columns(["node", "core_degree"]).set_column(
+            1, "core_degree", pc.cast(t.column("deg"), pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def entity_kcore(sf_dir: str, k: int = 3, max_rounds: int = 8) -> rd.Dataset:
+    """k-core of the flagship KG — oracle-checked end-to-end (flagship
+    SQL as a CTE → symmetric edge CTE → ``max_rounds`` chained peel-round
+    CTEs → surviving-degree rollup)."""
+    return kcore_subgraph(_flagship_edges(sf_dir), k=k, max_rounds=max_rounds)
+
+
+def entity_kcore_sql(k: int = 3, max_rounds: int = 8) -> str:
+    from .textops import KG_FLAGSHIP_EDGES_SQL
+
+    # every CTE is MATERIALIZED: round i references round i-1 three
+    # times (r JOIN k JOIN k), so default inlining would expand the
+    # flagship CTE 3^rounds times and exhaust file handles
+    parts = [
+        f"WITH edges AS MATERIALIZED ({KG_FLAGSHIP_EDGES_SQL}),",
+        "r0 AS MATERIALIZED (",
+        "  SELECT src_id AS a, dst_id AS b FROM edges WHERE src_id <> dst_id",
+        "  UNION",
+        "  SELECT dst_id AS a, src_id AS b FROM edges WHERE src_id <> dst_id",
+        "),",
+    ]
+    for i in range(max_rounds):
+        parts.append(
+            f"k{i} AS MATERIALIZED (SELECT a FROM r{i} GROUP BY a HAVING COUNT(*) >= {k}),"
+        )
+        parts.append(
+            f"r{i + 1} AS MATERIALIZED (SELECT r.a, r.b FROM r{i} r "
+            f"JOIN k{i} x ON r.a = x.a JOIN k{i} y ON r.b = y.a),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT a AS node, COUNT(*)::BIGINT AS core_degree FROM r{max_rounds} GROUP BY a"
+    )
+    return "\n".join(parts)
+
+
 ENTITY_BFS_SQL_TEMPLATE = """
 WITH RECURSIVE edges AS ({edges_sql}),
 und AS (

@@ -1951,3 +1951,111 @@ FROM customer c LEFT JOIN (
   FROM orders GROUP BY o_custkey
 ) o ON c.c_custkey = o.o_custkey
 """
+
+
+def late_shipment_priority(
+    sf_dir: str, grace_days: int = 90, broadcast_budget: int | None = None
+) -> rd.Dataset:
+    """Correlated-EXISTS semi-join (TPC-H Q4's shape, the one join flavor
+    the suite had not exercised): count orders per priority that have AT
+    LEAST ONE lineitem shipped more than ``grace_days`` after the order
+    date. The reference's QA evaluator asks the same "does a violating
+    child row exist for this parent" question of Neo4j
+    (``src/fancyrag/kg/evaluator.py`` orphan/mismatch counts); here the
+    predicate spans BOTH tables, so it cannot reduce to a key anti-join.
+
+    Ray-first plan — EXISTS(l_shipdate > cutoff) ⟺ MAX(l_shipdate) >
+    cutoff, so lineitem collapses to one slim (orderkey, max_ship) row
+    per order BEFORE any join (partial per-block max, then a combine
+    bounded by |orders|, never |lineitem|). The slim aggregate then
+    meets orders under the standard two-tier ladder: broadcast probe
+    (sorted-key searchsorted) under the byte budget, hash ``Dataset.join``
+    above it. The final exchange is the ≤5-row priority rollup."""
+    from ..util import dataset_mean_row_bytes, fits_broadcast
+
+    n_li = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_orderkey"]).aggregate([("l_shipdate", "max")])
+        return g.rename_columns(["l_orderkey", "max_ship"])
+
+    def li_combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_orderkey"]).aggregate([("max_ship", "max")])
+        return g.rename_columns(["l_orderkey", "max_ship"])
+
+    # l_orderkey groups ≈ rows/4 — the high-cardinality case where the
+    # hash-partitioned combine beats (and keeps Arrow timestamps out of)
+    # the sort-based groupby
+    max_ship = hash_partitioned_combine(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
+            li_partial, batch_format="pyarrow", batch_size=None
+        ),
+        ["l_orderkey"],
+        li_combine,
+        adaptive_partitions(16, n_rows=n_li),
+    ).materialize()
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    grace = np.timedelta64(grace_days, "D").astype("timedelta64[us]")
+
+    n_agg = max_ship.count()
+    kw = {} if broadcast_budget is None else {"budget_bytes": broadcast_budget}
+    if n_agg == 0 or fits_broadcast(n_agg, dataset_mean_row_bytes(max_ship, max(n_agg, 1)), **kw):
+        import ray
+
+        mt = max_ship.to_pandas()
+        keys = mt["l_orderkey"].to_numpy() if n_agg else np.array([], np.int64)
+        ships = (
+            mt["max_ship"].to_numpy().astype("datetime64[us]")
+            if n_agg
+            else np.array([], "datetime64[us]")
+        )
+        srt = np.argsort(keys)
+        ref = ray.put((keys[srt], ships[srt]))
+
+        def probe(t: pa.Table) -> pa.Table:
+            k, ms = ray.get(ref)
+            ok = t.column("o_orderkey").to_numpy()
+            od = t.column("o_orderdate").to_numpy().astype("datetime64[us]")
+            if len(k) == 0:
+                late = np.zeros(len(ok), bool)
+            else:
+                pos = np.clip(np.searchsorted(k, ok), 0, len(k) - 1)
+                late = (k[pos] == ok) & (ms[pos] > od + grace)
+            pt = pa.table({"o_orderpriority": t.column("o_orderpriority").filter(pa.array(late))})
+            g = pt.group_by(["o_orderpriority"]).aggregate([([], "count_all")])
+            return g.rename_columns(["o_orderpriority", "n_orders"])
+
+        partial = orders.map_batches(probe, batch_format="pyarrow", batch_size=None)
+    else:
+        joined = orders.join(
+            max_ship,
+            join_type="inner",
+            num_partitions=adaptive_partitions(8, n_rows=n_li),
+            on=("o_orderkey",),
+            right_on=("l_orderkey",),
+        )
+
+        def late_partial(t: pa.Table) -> pa.Table:
+            od = t.column("o_orderdate").to_numpy().astype("datetime64[us]")
+            ms = t.column("max_ship").to_numpy().astype("datetime64[us]")
+            pt = pa.table(
+                {"o_orderpriority": t.column("o_orderpriority").filter(pa.array(ms > od + grace))}
+            )
+            g = pt.group_by(["o_orderpriority"]).aggregate([([], "count_all")])
+            return g.rename_columns(["o_orderpriority", "n_orders"])
+
+        partial = joined.map_batches(late_partial, batch_format="pyarrow", batch_size=None)
+
+    return partial.groupby("o_orderpriority").aggregate(Sum("n_orders", alias_name="n_orders"))
+
+
+LATE_SHIPMENT_PRIORITY_SQL = """
+SELECT o.o_orderpriority, COUNT(*)::BIGINT AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+)
+GROUP BY o.o_orderpriority
+"""

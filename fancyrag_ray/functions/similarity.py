@@ -83,6 +83,91 @@ SELECT vec_id FROM (
 KNN_COSINE_SQL = knn_cosine_sql()
 
 
+def knn_cosine_mmr(
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    fetch_ratio: int = 4,
+    lam: float = 0.7,
+) -> rd.Dataset:
+    """Maximal-Marginal-Relevance re-ranked top-k (Carbonell & Goldstein
+    1998): fetch ``k * fetch_ratio`` exact-cosine candidates with the
+    same distributed local-topk → sort → limit plan as :func:`knn_cosine`
+    (candidate embeddings ride the slim partial rows, so no second
+    corpus pass), then greedily select ``k`` maximizing
+    ``lam·rel − (1−lam)·max_sim_to_selected`` on the driver — an O(k²·
+    fetch_ratio) numpy kernel over the tiny candidate set, the serving
+    analogue of the reference's retriever top-k
+    (``src/fancyrag/mcp/runtime.py`` search tools) with redundancy
+    suppression. Deterministic: float ties break on ascending vec_id.
+
+    Scale: the corpus-sized work is exactly one candidate fetch (swap in
+    the IVF/PQ candidate generator above this budget); MMR itself never
+    sees more than fetch_ratio·k rows."""
+    q = _query_vector(sf_dir, query_vec_id)
+    qn = q / np.linalg.norm(q)
+    k2 = k * fetch_ratio
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        m = _embedding_matrix(t).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        unit = m / norms[:, None]
+        scores = unit @ qn
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        mask = ids != query_vec_id
+        scores, ids, unit = scores[mask], ids[mask], unit[mask]
+        take = min(k2, len(ids))
+        sel = np.argpartition(-scores, take - 1)[:take] if take else np.array([], dtype=int)
+        dim = unit.shape[1] if unit.size else (m.shape[1] if m.size else 0)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[sel], pa.int64()),
+                "score": pa.array(scores[sel], pa.float64()),
+                "unit": pa.FixedSizeListArray.from_arrays(
+                    pa.array(unit[sel].ravel(), pa.float64()), dim
+                ),
+            }
+        )
+
+    cand = (
+        ds.map_batches(local_topk, batch_format="pyarrow", batch_size=4096)
+        .sort(["score", "vec_id"], descending=[True, False])
+        .limit(k2)
+        .to_pandas()  # ≤ fetch_ratio·k rows — bounded driver state
+    )
+    if len(cand) == 0:
+        return rd.from_arrow(
+            pa.table({"rank": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64())})
+        )
+    ids = cand["vec_id"].to_numpy()
+    rel = cand["score"].to_numpy()
+    units = np.stack([np.asarray(u, np.float64) for u in cand["unit"]])
+    sims = units @ units.T  # candidate×candidate cosine (units are normalized)
+    chosen: list[int] = []
+    remaining = np.ones(len(ids), bool)
+    for _ in range(min(k, len(ids))):
+        if chosen:
+            div = sims[:, chosen].max(axis=1)
+        else:
+            div = np.zeros(len(ids))
+        mmr = lam * rel - (1.0 - lam) * div
+        mmr[~remaining] = -np.inf
+        best = np.flatnonzero(mmr == mmr.max())
+        pick = best[np.argmin(ids[best])]  # deterministic tie-break
+        chosen.append(int(pick))
+        remaining[pick] = False
+    return rd.from_arrow(
+        pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(chosen) + 1), pa.int64()),
+                "vec_id": pa.array(ids[chosen], pa.int64()),
+            }
+        )
+    )
+
+
 class LshAnnIndex:
     """Random-hyperplane LSH bucketing for approximate NN — the scale
     path: vectors are assigned a bucket signature per batch; queries only

@@ -221,3 +221,69 @@ class TestPq:
         codes = pq_encode(x, books)
         assert codes.shape == (256, 8) and codes.dtype == np.uint8
         assert codes.nbytes == 256 * 8  # vs 256*64*4 float32 = 32x
+
+
+class TestMmr:
+    def _write(self, tmp_path):
+        """Planted geometry: query vec 0 = e1; vecs 1,2 are near-identical
+        tilts toward e2 (the redundant cluster, highest relevance); vec 3
+        is a diverse direction (e3 tilt) with slightly lower relevance;
+        vec 4 is anti-correlated filler."""
+        import pyarrow as pa
+
+        dim = 8
+        def v(*pairs):
+            x = np.zeros(dim)
+            for i, w in pairs:
+                x[i] = w
+            return x / np.linalg.norm(x)
+
+        vecs = [
+            v((0, 1.0)),                     # 0: query
+            v((0, 0.95), (1, 0.31)),         # 1: rel~.95, dup of 2
+            v((0, 0.949), (1, 0.315)),       # 2: rel~.949, dup of 1
+            v((0, 0.90), (2, 0.44)),         # 3: rel~.90, diverse
+            v((0, -1.0)),                    # 4: anti
+        ]
+        t = pa.table({
+            "vec_id": pa.array(range(5), pa.int64()),
+            "embedding": pa.array([list(map(float, x)) for x in vecs],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([0] * 5, pa.int32()),
+        })
+        pq.write_table(t, f"{tmp_path}/embeddings.parquet")
+        return tmp_path
+
+    def test_mmr_diversifies_second_pick(self, ray_session, tmp_path):
+        from fancyrag_ray.functions.similarity import knn_cosine, knn_cosine_mmr
+
+        self._write(tmp_path)
+        plain = knn_cosine(str(tmp_path), k=2).to_pandas()["vec_id"].tolist()
+        assert plain == [1, 2]  # pure relevance keeps the duplicate pair
+        mmr = knn_cosine_mmr(str(tmp_path), k=2, fetch_ratio=2, lam=0.5).to_pandas()
+        assert mmr["vec_id"].tolist() == [1, 3]  # diversity displaces the dup
+        assert mmr["rank"].tolist() == [1, 2]
+
+    def test_lambda_one_is_pure_relevance(self, ray_session, tmp_path):
+        from fancyrag_ray.functions.similarity import knn_cosine, knn_cosine_mmr
+
+        self._write(tmp_path)
+        plain = knn_cosine(str(tmp_path), k=3).to_pandas()["vec_id"].tolist()
+        mmr = knn_cosine_mmr(str(tmp_path), k=3, lam=1.0).to_pandas()["vec_id"].tolist()
+        assert mmr == plain
+
+    def test_k_exceeds_corpus(self, ray_session, tmp_path):
+        from fancyrag_ray.functions.similarity import knn_cosine_mmr
+
+        self._write(tmp_path)
+        out = knn_cosine_mmr(str(tmp_path), k=50).to_pandas()
+        assert set(out["vec_id"]) == {1, 2, 3, 4}
+        assert out["rank"].tolist() == [1, 2, 3, 4]
+
+    def test_deterministic_on_testdata(self, ray_session):
+        from fancyrag_ray.functions.similarity import knn_cosine_mmr
+
+        a = knn_cosine_mmr(SF, k=10).to_pandas()
+        b = knn_cosine_mmr(SF, k=10).to_pandas()
+        assert a.equals(b)
+        assert len(a) == 10 and a["vec_id"].is_unique

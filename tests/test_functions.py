@@ -1206,3 +1206,46 @@ class TestCustomerOrderCountsLeftJoin:
         assert out.loc[2, "n_orders"] == 0 and out.loc[2, "total_cents"] == 0
         assert out.loc[1, "n_orders"] == 2 and out.loc[1, "total_cents"] == 1275
         assert out.loc[3, "total_cents"] == 700
+
+
+class TestLateShipmentPriority:
+    def test_matches_duckdb_exists(self, ray_session):
+        """Engine (max-shipdate reduction) ≡ correlated-EXISTS SQL."""
+        import duckdb
+
+        from fancyrag_ray.functions.relational import (
+            LATE_SHIPMENT_PRIORITY_SQL,
+            late_shipment_priority,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        out = (
+            late_shipment_priority(sf)
+            .to_pandas()
+            .sort_values("o_orderpriority")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        for t in ("orders", "lineitem"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+        sql = (
+            con.execute(LATE_SHIPMENT_PRIORITY_SQL)
+            .fetchdf()
+            .sort_values("o_orderpriority")
+            .reset_index(drop=True)
+        )
+        assert len(out) > 0
+        assert out.equals(sql)
+
+    def test_join_tier_equals_broadcast(self, ray_session):
+        from fancyrag_ray.functions.relational import late_shipment_priority
+
+        sf = "/root/testdata/sf0.001"
+        b = late_shipment_priority(sf).to_pandas().sort_values("o_orderpriority").reset_index(drop=True)
+        j = (
+            late_shipment_priority(sf, broadcast_budget=1)
+            .to_pandas()
+            .sort_values("o_orderpriority")
+            .reset_index(drop=True)
+        )
+        assert b.equals(j)

@@ -335,3 +335,92 @@ class TestClusteringAndBfs:
         monkeypatch.setattr(G, "_flagship_edges", lambda sf: edges)
         out = G.entity_bfs_distances("unused", max_depth=2).to_pandas()
         assert set(out["node"]) == {"a", "b", "c"}  # 'd' is beyond the cap
+
+
+def _py_kcore(pairs, k, max_rounds=10**9):
+    """Reference peel: symmetric distinct non-loop edges, drop deg<k
+    nodes round by round, return {node: degree_in_core}."""
+    es = {(a, b) for a, b in pairs if a != b} | {(b, a) for a, b in pairs if a != b}
+    for _ in range(max_rounds):
+        deg = {}
+        for a, _ in es:
+            deg[a] = deg.get(a, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        if len(keep) == len(deg):
+            break
+        es = {(a, b) for a, b in es if a in keep and b in keep}
+        if not es:
+            return {}
+    deg = {}
+    for a, _ in es:
+        deg[a] = deg.get(a, 0) + 1
+    return deg
+
+
+class TestKcore:
+    # K4 on a,b,c,d (a 3-core) + pendant chain d-e-f that 2-core peeling
+    # must strip one node per round (exercises multi-round convergence)
+    PLANTED = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+        ("c", "d"), ("d", "e"), ("e", "f"),
+    ]
+
+    def _run(self, pairs, k, max_rounds=8):
+        from fancyrag_ray.functions.graph import kcore_subgraph
+
+        out = kcore_subgraph(_edge_ds(pairs), k=k, max_rounds=max_rounds).to_pandas()
+        if len(out) == 0:  # Ray's to_pandas drops schema at 0 rows
+            return {}
+        return dict(zip(out["node"], out["core_degree"]))
+
+    def test_three_core_is_k4(self, ray_session):
+        got = self._run(self.PLANTED, k=3)
+        assert got == _py_kcore(self.PLANTED, 3) == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+    def test_two_core_strips_pendant_chain(self, ray_session):
+        got = self._run(self.PLANTED, k=2)
+        assert got == _py_kcore(self.PLANTED, 2)
+        assert "e" not in got and "f" not in got
+
+    def test_multi_round_chain_peel(self, ray_session):
+        # path graph: 2-core is empty, but peeling removes only the two
+        # endpoints per round — needs len/2 rounds to drain
+        path = [(f"n{i}", f"n{i+1}") for i in range(9)]
+        assert self._run(path, k=2, max_rounds=8) == {}
+
+    def test_bounded_rounds_match_reference_cap(self, ray_session):
+        # with the cap BELOW convergence both sides define the same
+        # partial peel (the SQL-mirror contract)
+        path = [(f"n{i}", f"n{i+1}") for i in range(9)]
+        got = self._run(path, k=2, max_rounds=2)
+        assert got == _py_kcore(path, 2, max_rounds=2)
+        assert got  # still non-empty at 2 rounds
+
+    def test_empty_and_self_loops(self, ray_session):
+        assert self._run([], k=2) == {}
+        assert self._run([("a", "a"), ("b", "b")], k=1) == {}
+
+    def test_sql_mirror_chained_ctes(self, ray_session):
+        """entity_kcore_sql's round-CTE chain equals the engine peel on
+        the planted graph (swap the flagship CTE for the planted edges)."""
+        import duckdb
+
+        from fancyrag_ray.functions.graph import entity_kcore_sql
+
+        sql = entity_kcore_sql(k=2, max_rounds=8)
+        # replace the flagship edge CTE body with the planted table
+        head, tail = sql.split("),\nr0 AS MATERIALIZED (", 1)
+        planted_sql = (
+            "WITH edges AS MATERIALIZED (SELECT * FROM planted),\nr0 AS MATERIALIZED (" + tail
+        )
+        con = duckdb.connect()
+        con.register(
+            "planted",
+            pa.table({
+                "src_id": pa.array([p[0] for p in self.PLANTED]),
+                "dst_id": pa.array([p[1] for p in self.PLANTED]),
+            }),
+        )
+        sql_out = con.execute(planted_sql).fetchdf()
+        got = dict(zip(sql_out["node"], sql_out["core_degree"]))
+        assert got == self._run(self.PLANTED, k=2)
