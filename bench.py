@@ -541,6 +541,12 @@ def main() -> None:
                 __import__("fancyrag_ray.pipelines.clean_corpus", fromlist=["c"]).corpus_datacard
             ),
             "customer_order_counts": timed(R.customer_order_counts),
+            # round-5 additions: EXISTS semi-join, k-core peel, MMR re-rank
+            "late_shipment_priority": timed(R.late_shipment_priority),
+            "entity_kcore": timed(
+                __import__("fancyrag_ray.functions.graph", fromlist=["g"]).entity_kcore
+            ),
+            "knn_cosine_mmr": timed(S.knn_cosine_mmr),
         }
 
     print(json.dumps({
