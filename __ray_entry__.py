@@ -490,12 +490,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": R.events_by_type,
         "distinct_order_priorities": R.distinct_order_priorities,
         "token_histogram": T.token_histogram,
-        "quality_scores": T.quality_scores,
-        # ---- block 2 starts here: the cap lands after quality_scores —
-        # doc_rollup / token_counts / sample_documents_hash rotated past
-        # it this round to make room for the two first-timers above
-        # (late_shipment_priority, entity_kcore); all three are
+        # grouped covariance moments (exact integer), new this round
+        "events_hour_value_stats": A.events_hour_value_stats,
+        # ---- block 2 starts here: the cap lands after the row above —
+        # quality_scores / doc_rollup / token_counts /
+        # sample_documents_hash rotated past it this round to make room
+        # for the three first-timers (late_shipment_priority,
+        # entity_kcore, events_hour_value_stats); all four are
         # r03-driver-green and keep their pytest oracle rows ----
+        "quality_scores": T.quality_scores,
         "doc_rollup": T.doc_rollup,
         "token_counts": T.token_counts,
         "sample_documents_hash": T.sample_documents_hash,
@@ -693,6 +696,9 @@ def oracle_sql() -> dict[str, str]:
         # cents — both hash-exact vs their SQL mirrors
         "events_type_rollup": A.EVENTS_TYPE_ROLLUP_SQL,
         "events_running_value": A.EVENTS_RUNNING_VALUE_SQL,
+        # grouped covariance/correlation moments — all-integer outputs
+        # (n·Σxy − Σx·Σy numerator; the float r is left to the consumer)
+        "events_hour_value_stats": A.EVENTS_HOUR_VALUE_STATS_SQL,
         # sequence packing on a hierarchical global prefix sum vs the
         # global SUM OVER window
         "pack_documents": A.PACK_DOCUMENTS_SQL,

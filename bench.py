@@ -547,6 +547,7 @@ def main() -> None:
                 __import__("fancyrag_ray.functions.graph", fromlist=["g"]).entity_kcore
             ),
             "knn_cosine_mmr": timed(S.knn_cosine_mmr),
+            "events_hour_value_stats": timed(A.events_hour_value_stats),
         }
 
     print(json.dumps({

@@ -814,3 +814,92 @@ SELECT d.doc_id, d.lang
 FROM documents d JOIN th USING (lang)
 WHERE SUBSTR(MD5(CAST(d.doc_id AS VARCHAR)), 1, 4) < th.thr
 """
+
+
+# ---------------------------------------------------------------------------
+# grouped covariance / correlation moments (exact integer)
+# ---------------------------------------------------------------------------
+
+
+def events_hour_value_stats(sf_dir: str) -> rd.Dataset:
+    """Grouped second-moment statistics — the covariance/correlation
+    member of the aggregate family (feature-correlation checks every
+    curation pipeline runs before training): per event_type, the exact
+    integer moments between hour-of-day (x ∈ [0,23]) and value-cents
+    (y), plus the covariance NUMERATOR ``n·Σxy − Σx·Σy``. Pearson r =
+    cov_num / sqrt((n·Σxx − (Σx)²)(n·Σyy − (Σy)²)) is one float
+    expression over these exact integers, left to the consumer so the
+    stored row stays hash-exact (emitting the division would tie the
+    contract to libm rounding).
+
+    Shape: one per-block 6-way integer partial per type (Σ inside
+    ``map_batches``), then a ≤|event_types|-row combine — no row ever
+    shuffles. int64 bounds: |cov_num| ≤ n·Σ|xy| ≈ n²·23·max_cents;
+    safe through ~10⁹ rows/group at cents scale — shard the group key
+    (timeshard family) past that."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.hour(t.column("ts")).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        cents = np.trunc(v * 100.0 + np.copysign(0.5, v)).astype(np.int64)
+        pt = pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+                "sum_x": pa.array(hour),
+                "sum_y": pa.array(cents),
+                "sum_xx": pa.array(hour * hour),
+                "sum_yy": pa.array(cents * cents),
+                "sum_xy": pa.array(hour * cents),
+            }
+        )
+        g = pt.group_by(["event_type"]).aggregate(
+            [("n", "sum"), ("sum_x", "sum"), ("sum_y", "sum"),
+             ("sum_xx", "sum"), ("sum_yy", "sum"), ("sum_xy", "sum")]
+        )
+        return g.rename_columns(
+            ["event_type", "n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"]
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).groupby(
+        "event_type"
+    ).aggregate(
+        Sum("n", alias_name="n"),
+        Sum("sum_x", alias_name="sum_x"),
+        Sum("sum_y", alias_name="sum_y"),
+        Sum("sum_xx", alias_name="sum_xx"),
+        Sum("sum_yy", alias_name="sum_yy"),
+        Sum("sum_xy", alias_name="sum_xy"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        sx = t.column("sum_x").to_numpy(zero_copy_only=False)
+        sy = t.column("sum_y").to_numpy(zero_copy_only=False)
+        sxy = t.column("sum_xy").to_numpy(zero_copy_only=False)
+        cov_num = n * sxy - sx * sy
+        return t.append_column("cov_num", pa.array(cov_num, pa.int64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_HOUR_VALUE_STATS_SQL = """
+SELECT event_type,
+       COUNT(*)::BIGINT AS n,
+       SUM(x)::BIGINT AS sum_x,
+       SUM(y)::BIGINT AS sum_y,
+       SUM(x * x)::BIGINT AS sum_xx,
+       SUM(y * y)::BIGINT AS sum_yy,
+       SUM(x * y)::BIGINT AS sum_xy,
+       (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))::BIGINT AS cov_num
+FROM (
+  SELECT event_type,
+         EXTRACT(hour FROM ts)::BIGINT AS x,
+         CAST(ROUND(value * 100) AS BIGINT) AS y
+  FROM events
+)
+GROUP BY event_type
+"""

@@ -4,6 +4,7 @@ exact grouped quantiles, pivot-to-wide, stratified sampling)."""
 import hashlib
 import math
 
+import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
@@ -255,3 +256,37 @@ class TestGlobalRunningTotal:
             .to_pandas().sort_values("k").reset_index(drop=True)
         )
         assert out["c"].to_numpy().tolist() == np.cumsum(vals).tolist()
+
+
+class TestHourValueStats:
+    def test_moments_match_numpy(self, ray_session):
+        """Distributed integer moments ≡ a dense numpy computation, and
+        the Pearson r derived from them ≡ np.corrcoef."""
+        import pyarrow.parquet as pq
+
+        from fancyrag_ray.functions.analytics import events_hour_value_stats
+
+        sf = "/root/testdata/sf0.001"
+        out = events_hour_value_stats(sf).to_pandas().set_index("event_type")
+        t = pq.read_table(f"{sf}/events.parquet", columns=["event_type", "ts", "value"])
+        df = t.to_pandas()
+        df["x"] = df["ts"].dt.hour.astype(np.int64)
+        v = df["value"].to_numpy()
+        df["y"] = np.trunc(v * 100.0 + np.copysign(0.5, v)).astype(np.int64)
+        for et, g in df.groupby("event_type"):
+            row = out.loc[et]
+            x, y = g["x"].to_numpy(), g["y"].to_numpy()
+            assert row["n"] == len(g)
+            assert row["sum_x"] == x.sum() and row["sum_y"] == y.sum()
+            assert row["sum_xx"] == (x * x).sum() and row["sum_yy"] == (y * y).sum()
+            assert row["sum_xy"] == (x * y).sum()
+            assert row["cov_num"] == len(g) * (x * y).sum() - x.sum() * y.sum()
+            # derived Pearson r agrees with numpy (float check, consumer-side)
+            den = np.sqrt(
+                float(row["n"] * row["sum_xx"] - row["sum_x"] ** 2)
+                * float(row["n"] * row["sum_yy"] - row["sum_y"] ** 2)
+            )
+            if den > 0 and np.std(x) > 0 and np.std(y) > 0:
+                r_engine = float(row["cov_num"]) / den
+                r_np = np.corrcoef(x, y)[0, 1]
+                assert abs(r_engine - r_np) < 1e-9
