@@ -463,6 +463,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_kcore": lambda sf: __import__(
             "fancyrag_ray.functions.graph", fromlist=["g"]
         ).entity_kcore(sf),
+        # degree-assortativity moments through the full flagship DAG
+        # (exact integer covariance numerator), new this round
+        "entity_degree_assortativity": lambda sf: __import__(
+            "fancyrag_ray.functions.graph", fromlist=["g"]
+        ).entity_degree_assortativity(sf),
         # -- 27..43: r04-only-green accumulating a second driver row
         # (flagship end-to-end + graph analytics through the whole
         # chunk→extract→link→merge DAG, the composed funnel, census,
@@ -486,18 +491,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": C.top_bigrams,
         "repetition_stats": repetition_stats,
         "temperature_sample_documents": A.temperature_sample_documents,
-        # -- 44..50: r03-only-green accumulating a second driver row
-        "events_by_type": R.events_by_type,
-        "distinct_order_priorities": R.distinct_order_priorities,
-        "token_histogram": T.token_histogram,
         # grouped covariance moments (exact integer), new this round
         "events_hour_value_stats": A.events_hour_value_stats,
+        # -- remaining r03-only-green slots accumulating a second
+        # driver row
+        "distinct_order_priorities": R.distinct_order_priorities,
+        "token_histogram": T.token_histogram,
         # ---- block 2 starts here: the cap lands after the row above —
-        # quality_scores / doc_rollup / token_counts /
+        # events_by_type / quality_scores / doc_rollup / token_counts /
         # sample_documents_hash rotated past it this round to make room
-        # for the three first-timers (late_shipment_priority,
-        # entity_kcore, events_hour_value_stats); all four are
-        # r03-driver-green and keep their pytest oracle rows ----
+        # for the four first-timers (late_shipment_priority,
+        # entity_kcore, entity_degree_assortativity,
+        # events_hour_value_stats); all five are r03-driver-green and
+        # keep their pytest oracle rows ----
+        "events_by_type": R.events_by_type,
         "quality_scores": T.quality_scores,
         "doc_rollup": T.doc_rollup,
         "token_counts": T.token_counts,
@@ -679,6 +686,9 @@ def oracle_sql() -> dict[str, str]:
         # bounded-round k-core peel: one chained CTE per round makes the
         # iterative peel EXACTLY SQL-expressible (fixpoint rounds no-op)
         "entity_kcore": G.entity_kcore_sql(),
+        # degree-assortativity moments through the flagship CTE —
+        # all-integer outputs incl. the covariance numerator
+        "entity_degree_assortativity": G.entity_degree_assortativity_sql(),
         # the time-sharded variants are semantically identical, so they
         # share the unsharded operators' oracles verbatim
         "events_last_order_sharded": R.EVENTS_LAST_ORDER_SQL,

@@ -548,6 +548,9 @@ def main() -> None:
             ),
             "knn_cosine_mmr": timed(S.knn_cosine_mmr),
             "events_hour_value_stats": timed(A.events_hour_value_stats),
+            "entity_degree_assortativity": timed(
+                __import__("fancyrag_ray.functions.graph", fromlist=["g"]).entity_degree_assortativity
+            ),
         }
 
     print(json.dumps({

@@ -1245,6 +1245,169 @@ def kcore_subgraph(
     )
 
 
+def degree_assortativity_moments(
+    edges: rd.Dataset,
+    src_col: str = "src_id",
+    dst_col: str = "dst_id",
+    broadcast_budget: int | None = None,
+) -> rd.Dataset:
+    """Degree-assortativity moments (Newman 2002): over every DIRECTED
+    adjacency pair (u,v) of the undirected graph, the exact integer
+    second moments between x = deg(u) and y = deg(v), plus the
+    covariance numerator ``n·Σxy − Σx·Σy`` whose sign IS the
+    assortativity verdict (hub-hub vs hub-leaf wiring — the KG-health
+    analogue of the clustering coefficient). The Pearson coefficient is
+    one consumer-side float expression over the stored integers, same
+    contract as ``events_hour_value_stats``.
+
+    Shape: degree table (per-block partials → O(nodes) combine), then
+    ONE pass over the distributed adjacency blocks with the (node→deg)
+    map attached via the byte-budgeted broadcast tier (hash join above
+    the budget), each block reducing to a single 6-integer row.
+    int64 bound: n·Σxy ≤ (2|E|)²·max_deg² — document-scale graphs with
+    |E| ≲ 10⁹ and hub degree ≲ 10³ stay exact; beyond that shard the
+    moment accumulation (the sums stay mergeable)."""
+    out_schema = pa.schema(
+        [("n_pairs", pa.int64()), ("sum_x", pa.int64()), ("sum_y", pa.int64()),
+         ("sum_xx", pa.int64()), ("sum_yy", pa.int64()), ("sum_xy", pa.int64()),
+         ("cov_num", pa.int64())]
+    )
+
+    def und_partial(t: pa.Table) -> pa.Table:
+        a = t.column(src_col).cast(pa.string())
+        b = t.column(dst_col).cast(pa.string())
+        a_lo = pc.less_equal(a, b)
+        lo = pc.if_else(a_lo, a, b)
+        hi = pc.if_else(a_lo, b, a)
+        out = pa.table({"a": lo, "b": hi})
+        out = out.filter(pc.not_equal(out.column("a"), out.column("b")))
+        return out.group_by(["a", "b"]).aggregate([])
+
+    n_raw = edges.count()
+    if n_raw == 0:
+        return rd.from_arrow(pa.table({f.name: pa.array([], f.type) for f in out_schema}))
+    und = hash_partitioned_combine(
+        edges.map_batches(und_partial, batch_format="pyarrow", batch_size=None),
+        ["a", "b"],
+        lambda t: t.group_by(["a", "b"]).aggregate([]),
+        adaptive_partitions(8, n_rows=n_raw),
+    ).materialize()
+    n_edges = und.count()
+    if n_edges == 0:
+        return rd.from_arrow(pa.table({f.name: pa.array([], f.type) for f in out_schema}))
+
+    adj = und.map_batches(
+        lambda t: pa.table({"u": t.column("a"), "v": t.column("b")}),
+        batch_format="pyarrow",
+    ).union(
+        und.map_batches(
+            lambda t: pa.table({"u": t.column("b"), "v": t.column("a")}),
+            batch_format="pyarrow",
+        )
+    ).materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"node": t.column("u")}).group_by(["node"]).aggregate([([], "count_all")])
+        return g.rename_columns(["node", "deg"])
+
+    deg = hash_partitioned_combine(
+        adj.map_batches(deg_partial, batch_format="pyarrow", batch_size=None),
+        ["node"],
+        lambda t: t.group_by(["node"]).aggregate([("deg", "sum")]).rename_columns(["node", "deg"]),
+        adaptive_partitions(8, n_rows=2 * n_edges),
+    ).materialize()
+
+    n_nodes = deg.count()
+    use_broadcast = fits_broadcast(
+        n_nodes,
+        dataset_mean_row_bytes(deg, max(n_nodes, 1)) + 8.0,
+        **({"budget_bytes": broadcast_budget} if broadcast_budget is not None else {}),
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = t.column("deg_u").to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t.column("deg_v").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"n_pairs": pa.array([len(x)], pa.int64()),
+             "sum_x": pa.array([int(x.sum())], pa.int64()),
+             "sum_y": pa.array([int(y.sum())], pa.int64()),
+             "sum_xx": pa.array([int((x * x).sum())], pa.int64()),
+             "sum_yy": pa.array([int((y * y).sum())], pa.int64()),
+             "sum_xy": pa.array([int((x * y).sum())], pa.int64())}
+        )
+
+    if use_broadcast:
+        deg_tbl = pa.concat_tables(list(deg.iter_batches(batch_format="pyarrow")))
+        node_ref = ray.put(deg_tbl.column("node").combine_chunks())
+        deg_ref = ray.put(deg_tbl.column("deg").to_numpy(zero_copy_only=False))
+
+        def attach_moments(t: pa.Table) -> pa.Table:
+            na, dv = ray.get(node_ref), ray.get(deg_ref)
+            iu = pc.index_in(t.column("u"), value_set=na).to_numpy(zero_copy_only=False)
+            iv = pc.index_in(t.column("v"), value_set=na).to_numpy(zero_copy_only=False)
+            return moments(
+                pa.table({"deg_u": pa.array(dv[iu], pa.int64()),
+                          "deg_v": pa.array(dv[iv], pa.int64())})
+            )
+
+        partials = adj.map_batches(attach_moments, batch_format="pyarrow", batch_size=None)
+    else:
+        jparts = adaptive_partitions(8, n_rows=2 * n_edges)
+        joined = adj.join(
+            deg.map_batches(lambda t: t.rename_columns(["u", "deg_u"]), batch_format="pyarrow"),
+            join_type="inner", num_partitions=jparts, on=("u",),
+        ).join(
+            deg.map_batches(lambda t: t.rename_columns(["v", "deg_v"]), batch_format="pyarrow"),
+            join_type="inner", num_partitions=jparts, on=("v",),
+        )
+        partials = joined.map_batches(moments, batch_format="pyarrow", batch_size=None)
+
+    def combine(t: pa.Table) -> pa.Table:
+        cols = {c: np.int64(t.column(c).to_numpy(zero_copy_only=False).sum()) for c in t.column_names}
+        cov_num = cols["n_pairs"] * cols["sum_xy"] - cols["sum_x"] * cols["sum_y"]
+        return pa.table(
+            {**{c: pa.array([cols[c]], pa.int64()) for c in
+                ["n_pairs", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"]},
+             "cov_num": pa.array([int(cov_num)], pa.int64())}
+        )
+
+    return partials.repartition(1).map_batches(combine, batch_format="pyarrow", batch_size=None)
+
+
+def entity_degree_assortativity(sf_dir: str) -> rd.Dataset:
+    """Degree-assortativity moments of the flagship KG — oracle-checked
+    end-to-end (flagship SQL as a CTE → degree CTE → per-edge moment
+    rollup), the graph family's covariance-statistics member."""
+    return degree_assortativity_moments(_flagship_edges(sf_dir))
+
+
+ENTITY_DEGREE_ASSORTATIVITY_SQL_TEMPLATE = """
+WITH edges AS MATERIALIZED ({edges_sql}),
+norm AS (
+  SELECT LEAST(src_id, dst_id) AS a, GREATEST(src_id, dst_id) AS b
+  FROM edges WHERE src_id <> dst_id GROUP BY 1, 2
+),
+adj AS (SELECT a AS u, b AS v FROM norm UNION ALL SELECT b, a FROM norm),
+deg AS (SELECT u AS node, COUNT(*)::BIGINT AS deg FROM adj GROUP BY u),
+pairs AS (
+  SELECT d1.deg AS x, d2.deg AS y
+  FROM adj JOIN deg d1 ON d1.node = adj.u JOIN deg d2 ON d2.node = adj.v
+)
+SELECT COUNT(*)::BIGINT AS n_pairs,
+       SUM(x)::BIGINT AS sum_x, SUM(y)::BIGINT AS sum_y,
+       SUM(x * x)::BIGINT AS sum_xx, SUM(y * y)::BIGINT AS sum_yy,
+       SUM(x * y)::BIGINT AS sum_xy,
+       (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))::BIGINT AS cov_num
+FROM pairs
+"""
+
+
+def entity_degree_assortativity_sql() -> str:
+    from .textops import KG_FLAGSHIP_EDGES_SQL
+
+    return ENTITY_DEGREE_ASSORTATIVITY_SQL_TEMPLATE.format(edges_sql=KG_FLAGSHIP_EDGES_SQL)
+
+
 def entity_kcore(sf_dir: str, k: int = 3, max_rounds: int = 8) -> rd.Dataset:
     """k-core of the flagship KG — oracle-checked end-to-end (flagship
     SQL as a CTE → symmetric edge CTE → ``max_rounds`` chained peel-round

@@ -424,3 +424,59 @@ class TestKcore:
         sql_out = con.execute(planted_sql).fetchdf()
         got = dict(zip(sql_out["node"], sql_out["core_degree"]))
         assert got == self._run(self.PLANTED, k=2)
+
+
+class TestAssortativity:
+    def _numpy_moments(self, pairs):
+        es = {(a, b) for a, b in pairs if a != b}
+        es = {(min(a, b), max(a, b)) for a, b in es}
+        adj = [(u, v) for u, v in es] + [(v, u) for u, v in es]
+        deg = {}
+        for u, _ in adj:
+            deg[u] = deg.get(u, 0) + 1
+        x = np.array([deg[u] for u, _ in adj], np.int64)
+        y = np.array([deg[v] for _, v in adj], np.int64)
+        n = len(adj)
+        return {
+            "n_pairs": n, "sum_x": x.sum(), "sum_y": y.sum(),
+            "sum_xx": (x * x).sum(), "sum_yy": (y * y).sum(),
+            "sum_xy": (x * y).sum(),
+            "cov_num": n * (x * y).sum() - x.sum() * y.sum(),
+        }
+
+    def test_moments_match_numpy(self, ray_session):
+        from fancyrag_ray.functions.graph import degree_assortativity_moments
+
+        got = degree_assortativity_moments(_edge_ds(GRAPH)).to_pandas().iloc[0].to_dict()
+        assert got == self._numpy_moments(GRAPH)
+
+    def test_star_is_disassortative(self, ray_session):
+        """A star graph wires the hub (deg n) to leaves (deg 1) only:
+        cov_num must be negative."""
+        from fancyrag_ray.functions.graph import degree_assortativity_moments
+
+        star = [("hub", f"leaf{i}") for i in range(6)]
+        got = degree_assortativity_moments(_edge_ds(star)).to_pandas().iloc[0]
+        assert got["cov_num"] < 0
+        assert got.to_dict() == self._numpy_moments(star)
+
+    def test_regular_graph_zero_covariance(self, ray_session):
+        """Every node of a cycle has degree 2 ⇒ x and y are constant ⇒
+        cov_num is exactly 0."""
+        from fancyrag_ray.functions.graph import degree_assortativity_moments
+
+        cyc = [(f"n{i}", f"n{(i+1) % 5}") for i in range(5)]
+        got = degree_assortativity_moments(_edge_ds(cyc)).to_pandas().iloc[0]
+        assert got["cov_num"] == 0
+
+    def test_join_tier_matches_broadcast(self, ray_session):
+        from fancyrag_ray.functions.graph import degree_assortativity_moments
+
+        bc = degree_assortativity_moments(_edge_ds(GRAPH)).to_pandas()
+        jn = degree_assortativity_moments(_edge_ds(GRAPH), broadcast_budget=1).to_pandas()
+        assert bc.equals(jn)
+
+    def test_empty(self, ray_session):
+        from fancyrag_ray.functions.graph import degree_assortativity_moments
+
+        assert degree_assortativity_moments(_edge_ds([])).count() == 0
