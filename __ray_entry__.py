@@ -173,6 +173,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def approx_term_counts(sf_dir: str):
+        """Count-Min sketch term frequencies over documents.text — one
+        depth×width int64 grid per block, elementwise-add merge; point
+        queries never underestimate. No SQL oracle: approximate by
+        design; the ≥exact and ≤exact+2N/width guarantees are asserted
+        vs exact counts in tests/test_sketches.py::TestCountMin."""
+        import ray.data as rd
+
+        from fancyrag_ray.functions.sketches import approx_term_counts as f
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        return f(ds)
+
     def approx_price_quantiles(sf_dir: str):
         """KLL quantile sketch over orders.o_totalprice — the continuous-
         domain quantile path (one ≤k·levels-float summary per block; rows
@@ -565,6 +578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_customers": approx_distinct_customers,
         "approx_top_sources": approx_top_sources,
         "approx_price_quantiles": approx_price_quantiles,
+        "approx_term_counts": approx_term_counts,
         "entity_pagerank": entity_pagerank,
         "embedding_kmeans": embedding_kmeans,
         "embedding_semdedup": embedding_semdedup,

@@ -354,3 +354,103 @@ def build_bloom(ds: rd.Dataset, col: str, n_keys: int, bits_per_key: int = 10) -
         for raw in batch.column("bits").to_pylist():
             np.bitwise_or(merged.bits, np.frombuffer(raw, np.uint8), out=merged.bits)
     return merged
+
+
+class CountMinSketch:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005): ``depth``
+    independent hash rows of ``width`` int64 counters. Point queries
+    NEVER underestimate; overestimate ≤ 2N/width with probability
+    1 − 2^-depth. Merge is elementwise addition — associative and
+    commutative, so per-block partials tree-reduce like the HLL/Bloom
+    members of this family (one depth×width int64 grid per block crosses
+    the wire, never the keys)."""
+
+    # distinct odd 64-bit multipliers (splitmix64-derived constants)
+    _MULTS = np.array(
+        [0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB,
+         0xD6E8FEB86659FD93, 0xA5A5A5A5A5A5A5A5 | 1, 0xC2B2AE3D27D4EB4F],
+        dtype=np.uint64,
+    )
+
+    def __init__(self, width: int = 2048, depth: int = 4):
+        assert depth <= len(self._MULTS)
+        self.width = width
+        self.depth = depth
+        self.table = np.zeros((depth, width), dtype=np.int64)
+
+    def _rows(self, h: np.ndarray) -> np.ndarray:
+        h = h.astype(np.uint64)
+        # one multiplicative re-hash per row; top bits via modulo width
+        return np.stack(
+            [((h * self._MULTS[i]) >> np.uint64(17)) % np.uint64(self.width)
+             for i in range(self.depth)]
+        ).astype(np.int64)  # (depth, n)
+
+    def add_hashes(self, h: np.ndarray, counts: np.ndarray | None = None) -> None:
+        if not len(h):
+            return
+        c = np.ones(len(h), np.int64) if counts is None else counts.astype(np.int64)
+        pos = self._rows(h)
+        for i in range(self.depth):
+            np.add.at(self.table[i], pos[i], c)
+
+    def query_hashes(self, h: np.ndarray) -> np.ndarray:
+        if not len(h):
+            return np.zeros(0, np.int64)
+        pos = self._rows(h)
+        return np.min(
+            np.stack([self.table[i][pos[i]] for i in range(self.depth)]), axis=0
+        )
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert other.width == self.width and other.depth == self.depth
+        self.table += other.table
+        return self
+
+
+def approx_term_counts(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    terms: tuple[str, ...] = ("data", "model", "graph", "pipeline", "entity"),
+    width: int = 1 << 14,
+    depth: int = 4,
+) -> "pa.Table":
+    """Approximate corpus-wide term frequencies from ONE streaming pass:
+    per block, tokenize (the shared lowercase word RE2) and pre-reduce to
+    (token, count) before sketching — the CMS absorbs the distinct-token
+    domain so the point-query table for any ad-hoc term list costs O(1)
+    per term instead of a corpus groupby. Per-block partial = one
+    depth×width grid; driver folds one grid at a time (accumulator +
+    single in-flight partial)."""
+    import pyarrow.compute as pc
+
+    def sketch_block(t: pa.Table) -> pa.Table:
+        s = CountMinSketch(width, depth)
+        lowered = pc.utf8_lower(t.column(text_col))
+        flat = pc.list_flatten(pc.split_pattern_regex(lowered, "[^a-z0-9]+"))
+        flat = flat.filter(pc.not_equal(flat, pa.scalar("")))
+        if len(flat):
+            g = (
+                pa.table({"tok": flat})
+                .group_by(["tok"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["tok", "n"])
+            )
+            s.add_hashes(
+                _hash_strings(g.column("tok").to_pylist()),
+                g.column("n").to_numpy(zero_copy_only=False).astype(np.int64),
+            )
+        return pa.table({"grid": pa.array([s.table.tobytes()], pa.binary())})
+
+    merged = CountMinSketch(width, depth)
+    for b in ds.select_columns([text_col]).map_batches(
+        sketch_block, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_format="pyarrow"):
+        for raw in b.column("grid").to_pylist():
+            merged.table += np.frombuffer(raw, np.int64).reshape(depth, width)
+
+    q = merged.query_hashes(_hash_strings(list(terms)))
+    return pa.table(
+        {"term": pa.array(list(terms), pa.string()),
+         "approx_count": pa.array(q, pa.int64())}
+    )

@@ -180,3 +180,62 @@ class TestKllQuantiles:
         ds2 = rd.from_arrow(pa.table({"v": pa.array([float("nan"), 1.0, 2.0, 3.0])}))
         out2 = approx_quantiles(ds2, "v", [0.5])
         assert 1.0 <= out2[0.5] <= 3.0  # NaNs dropped, not propagated
+
+
+class TestCountMin:
+    def test_never_underestimates_and_bounded(self, ray_session):
+        """CMS point queries ≥ exact counts, and ≤ exact + 2N/width on
+        a planted stream (the classic guarantee)."""
+        import numpy as np
+
+        from fancyrag_ray.functions.sketches import CountMinSketch, _hash_strings
+
+        rng = np.random.default_rng(7)
+        keys = [f"k{i}" for i in range(500)]
+        freq = {k: int(rng.integers(1, 50)) for k in keys}
+        s = CountMinSketch(width=2048, depth=4)
+        s.add_hashes(_hash_strings(keys), np.array([freq[k] for k in keys], np.int64))
+        got = s.query_hashes(_hash_strings(keys))
+        exact = np.array([freq[k] for k in keys], np.int64)
+        n_total = exact.sum()
+        assert (got >= exact).all()
+        assert (got <= exact + 2 * n_total // 2048 + 1).all()
+
+    def test_merge_equals_single_pass(self, ray_session):
+        import numpy as np
+
+        from fancyrag_ray.functions.sketches import CountMinSketch, _hash_strings
+
+        a, b, whole = (CountMinSketch(512, 4) for _ in range(3))
+        k1, k2 = ["x", "y", "z"], ["y", "z", "w"]
+        a.add_hashes(_hash_strings(k1))
+        b.add_hashes(_hash_strings(k2))
+        whole.add_hashes(_hash_strings(k1 + k2))
+        assert (a.merge(b).table == whole.table).all()
+
+    def test_approx_term_counts_vs_exact(self, ray_session):
+        """Distributed sketch over the sf docs: every queried term's
+        approximate count ≥ its exact corpus count and within the CMS
+        bound of it."""
+        import re
+
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from fancyrag_ray.functions.sketches import approx_term_counts
+
+        sf = "/root/testdata/sf0.001"
+        ds = rd.read_parquet(f"{sf}/documents.parquet", columns=["text"])
+        out = approx_term_counts(ds).to_pandas().set_index("term")["approx_count"]
+        texts = pq.read_table(f"{sf}/documents.parquet", columns=["text"]).column("text").to_pylist()
+        pat = re.compile(r"[a-z0-9]+")
+        exact: dict = {}
+        n_total = 0
+        for t in texts:
+            for m in pat.findall((t or "").lower()):
+                exact[m] = exact.get(m, 0) + 1
+                n_total += 1
+        for term in out.index:
+            e = exact.get(term, 0)
+            assert out[term] >= e
+            assert out[term] <= e + 2 * n_total // (1 << 14) + 1
