@@ -254,6 +254,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return hybrid_search(chunks, emb, "customer order supplier", k=5,
                              embed_dim=cfg.embed_dim, embed_seed=cfg.embed_seed)
 
+    def hybrid_search_chunks_rrf(sf_dir: str):
+        """Reciprocal-Rank-Fusion variant of ``hybrid_search_chunks``:
+        integer micro-score fusion (⌊10⁹/(60+rank)⌋ per side) instead of
+        float max-normalization — exactly reproducible ordering. Same
+        distributed branches; rows-only driver check (rank semantics
+        pytest-verified incl. the λ-free determinism)."""
+        import ray.data as rd
+
+        from fancyrag_ray.config import PipelineConfig
+        from fancyrag_ray.pipelines.kg_build import build_chunks, build_embeddings
+        from fancyrag_ray.pipelines.retrieval import hybrid_search_rrf
+        from fancyrag_ray.sources.io import interleave_documents
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        inter = docs.map_batches(interleave_documents, batch_format="pyarrow")
+        cfg = PipelineConfig(embed_dim=256)
+        chunks = build_chunks(inter, cfg).materialize()
+        emb = build_embeddings(chunks, cfg).materialize()
+        return hybrid_search_rrf(chunks, emb, "customer order supplier", k=5,
+                                 embed_dim=cfg.embed_dim, embed_seed=cfg.embed_seed)
+
     def knn_cosine_ivf_indexed(sf_dir: str, query_vec_id: int = 0, k: int = 10):
         """ANN top-k served from the PERSISTED IVF cell store: unlike
         ``knn_cosine_ivf`` (compute pruning over a full scan), the query
@@ -584,6 +605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_semdedup": embedding_semdedup,
         "hybrid_search_chunks": hybrid_search_chunks,
         "hybrid_search_chunks_indexed": hybrid_search_chunks_indexed,
+        "hybrid_search_chunks_rrf": hybrid_search_chunks_rrf,
     }
 
 

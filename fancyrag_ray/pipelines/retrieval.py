@@ -173,6 +173,49 @@ def hybrid_search(
     return merged
 
 
+def hybrid_search_rrf(
+    chunks: rd.Dataset | None,
+    embeddings: rd.Dataset | None,
+    query_text: str,
+    k: int = 5,
+    rrf_k: int = 60,
+    embed_dim: int = 1024,
+    embed_seed: int = 42,
+    effective_search_ratio: float = 1.0,
+) -> pd.DataFrame:
+    """Reciprocal-Rank-Fusion hybrid (Cormack et al. 2009) — the
+    rank-based alternative to :func:`hybrid_search`'s score-space
+    max-normalization: each side contributes ``⌊10⁹/(rrf_k + rank)⌋``
+    per hit, summed. Working in integer micro-score space makes the
+    fused ordering EXACTLY reproducible across engines/accumulation
+    orders (no float normalization); ties break on ascending chunk_uid.
+    Same two distributed branches as :func:`hybrid_search` (vector
+    top-k over-fetched by ``effective_search_ratio``, fulltext top-k);
+    fusion touches only the ≤2k candidate rows on the driver."""
+    validate_top_k(k, effective_search_ratio)
+    q = HashEmbedder(dim=embed_dim, seed=embed_seed)._embed_one(query_text)
+    v = vector_topk(embeddings, q, k=k, effective_search_ratio=effective_search_ratio)
+    f = fulltext_topk(chunks, query_text, k=k)
+    v = _ensure_cols(v, "chunk_uid", "score_vector")
+    f = _ensure_cols(f, "chunk_uid", "score_fulltext")
+
+    def rank_scores(df: pd.DataFrame, score_col: str) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"chunk_uid": pd.Series(dtype=object),
+                                 "rrf_micro": pd.Series(dtype="int64")})
+        df = df.sort_values([score_col, "chunk_uid"], ascending=[False, True]).reset_index(drop=True)
+        rank = np.arange(1, len(df) + 1, dtype=np.int64)
+        return pd.DataFrame(
+            {"chunk_uid": df["chunk_uid"],
+             "rrf_micro": (10**9 // (rrf_k + rank)).astype(np.int64)}
+        )
+
+    both = pd.concat([rank_scores(v, "score_vector"), rank_scores(f, "score_fulltext")])
+    fused = both.groupby("chunk_uid", as_index=False)["rrf_micro"].sum()
+    fused = fused.sort_values(["rrf_micro", "chunk_uid"], ascending=[False, True])
+    return fused.head(k).reset_index(drop=True)
+
+
 def semantic_context(linked: rd.Dataset, hit_chunk_uids: list[str]) -> pd.DataFrame:
     """Entities + relations contributed by the hit chunks (semi-join with
     broadcast hit set; dedup by (subj_id, pred, obj_id))."""

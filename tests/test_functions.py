@@ -1249,3 +1249,48 @@ class TestLateShipmentPriority:
             .reset_index(drop=True)
         )
         assert b.equals(j)
+
+
+class TestHybridRrf:
+    def test_rrf_fusion_properties(self, small_corpus, ray_session):
+        """RRF hybrid: integer micro-scores, deterministic ordering, and
+        a hand-computed fusion check on the same two candidate lists."""
+        import numpy as np
+
+        from fancyrag_ray.config import PipelineConfig
+        from fancyrag_ray.pipelines.kg_build import run_kg_build
+        from fancyrag_ray.pipelines.retrieval import (
+            fulltext_topk,
+            hybrid_search_rrf,
+            vector_topk,
+        )
+        from fancyrag_ray.stages.embedder import HashEmbedder
+
+        corpus, _ = small_corpus
+        docs = rd.from_arrow(corpus.documents)
+        cfg = PipelineConfig(embed_dim=64)
+        res = run_kg_build(docs, alias_table=corpus.aliases, cfg=cfg)
+        chunks = res.chunks.materialize()
+        emb = res.embeddings.materialize()
+        some = res.linked.take(1)[0]
+        query = f"{some['subj']} launched"
+
+        hits = hybrid_search_rrf(chunks, emb, query, k=5, embed_dim=64)
+        assert list(hits.columns) == ["chunk_uid", "rrf_micro"]
+        assert str(hits["rrf_micro"].dtype) == "int64"
+        assert (hits["rrf_micro"].values[:-1] >= hits["rrf_micro"].values[1:]).all()
+        # determinism
+        again = hybrid_search_rrf(chunks, emb, query, k=5, embed_dim=64)
+        assert hits.equals(again)
+
+        # hand-computed fusion from the two side lists
+        q = HashEmbedder(dim=64, seed=cfg.embed_seed)._embed_one(query)
+        v = vector_topk(emb, q, k=5)
+        f = fulltext_topk(chunks, query, k=5)
+        expect: dict = {}
+        for df, col in ((v, "score_vector"), (f, "score_fulltext")):
+            df = df.sort_values([col, "chunk_uid"], ascending=[False, True]).reset_index(drop=True)
+            for i, uid in enumerate(df["chunk_uid"], start=1):
+                expect[uid] = expect.get(uid, 0) + 10**9 // (60 + i)
+        want = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        assert list(map(tuple, hits.itertuples(index=False))) == want
