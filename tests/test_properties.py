@@ -84,3 +84,57 @@ class TestRunningTotalProperty:
         ref["rc"] = ref.assign(_c=to_cents(ref["v"].to_numpy())).groupby("k")["_c"].cumsum()
         ref = ref.sort_values("rid").reset_index(drop=True)
         assert out["rc"].tolist() == ref["rc"].tolist()
+
+
+class TestCountMinProperties:
+    @given(
+        st.lists(
+            st.tuples(
+                st.text(alphabet="abcdefgh", min_size=1, max_size=4),  # key
+                st.integers(min_value=1, max_value=100),               # count
+            ),
+            min_size=1,
+            max_size=200,
+        )
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_never_underestimates_any_stream(self, items):
+        """For ARBITRARY (key, count) streams: point query ≥ exact count
+        for every key, and ≤ exact + total (the trivial upper bound is
+        total mass; the probabilistic 2N/width bound is asserted on the
+        planted test — here we pin the hard invariant only)."""
+        from fancyrag_ray.functions.sketches import CountMinSketch, _hash_strings
+
+        exact: dict = {}
+        for k, c in items:
+            exact[k] = exact.get(k, 0) + c
+        s = CountMinSketch(width=256, depth=4)
+        keys = [k for k, _ in items]
+        s.add_hashes(_hash_strings(keys), np.array([c for _, c in items], np.int64))
+        got = s.query_hashes(_hash_strings(list(exact)))
+        want = np.array([exact[k] for k in exact], np.int64)
+        total = sum(exact.values())
+        assert (got >= want).all()
+        assert (got <= total).all()
+
+    @given(
+        st.lists(st.text(alphabet="abcdefgh", min_size=1, max_size=4), min_size=0, max_size=80),
+        st.lists(st.text(alphabet="abcdefgh", min_size=1, max_size=4), min_size=0, max_size=80),
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_merge_associative_commutative(self, xs, ys):
+        """merge(a,b) == merge(b,a) == single-pass(a+b) for arbitrary
+        splits — the property the tree-reduce relies on."""
+        from fancyrag_ray.functions.sketches import CountMinSketch, _hash_strings
+
+        def build(keys):
+            s = CountMinSketch(width=128, depth=3)
+            if keys:
+                s.add_hashes(_hash_strings(keys))
+            return s
+
+        ab = build(xs).merge(build(ys))
+        ba = build(ys).merge(build(xs))
+        whole = build(xs + ys)
+        assert (ab.table == whole.table).all()
+        assert (ba.table == whole.table).all()
