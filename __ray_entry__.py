@@ -527,9 +527,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_sample_documents": A.temperature_sample_documents,
         # grouped covariance moments (exact integer), new this round
         "events_hour_value_stats": A.events_hour_value_stats,
-        # -- remaining r03-only-green slots accumulating a second
-        # driver row
-        "distinct_order_priorities": R.distinct_order_priorities,
+        # bigram-OOV quality rate (LM-perplexity analogue), new this round
+        "bigram_oov_rate": C.bigram_oov_rate,
+        # -- remaining r03-only-green slot accumulating a second driver
+        # row (distinct_order_priorities rotated past the cap for the
+        # row above; it keeps its r03 driver row + pytest oracle)
         "token_histogram": T.token_histogram,
         # ---- block 2 starts here: the cap lands after the row above —
         # events_by_type / quality_scores / doc_rollup / token_counts /
@@ -539,6 +541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # events_hour_value_stats); all five are r03-driver-green and
         # keep their pytest oracle rows ----
         "events_by_type": R.events_by_type,
+        "distinct_order_priorities": R.distinct_order_priorities,
         "quality_scores": T.quality_scores,
         "doc_rollup": T.doc_rollup,
         "token_counts": T.token_counts,
@@ -766,6 +769,9 @@ def oracle_sql() -> dict[str, str]:
         # fraction (integer bp) / BM25 with rational-odds idf — all exact
         "top_bigrams": C.TOP_BIGRAMS_SQL,
         "common_word_fraction": C.COMMON_WORD_FRACTION_SQL,
+        # bigram-OOV rate vs the learned top-512 bigram table — integer
+        # basis points, the exact-arithmetic LM-perplexity analogue
+        "bigram_oov_rate": C.BIGRAM_OOV_RATE_SQL,
         "fulltext_bm25": C.FULLTEXT_BM25_SQL,
         "dedup_exact": T.DEDUP_EXACT_SQL,
         "quality_scores": T.QUALITY_SCORES_SQL,

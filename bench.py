@@ -551,6 +551,9 @@ def main() -> None:
             "entity_degree_assortativity": timed(
                 __import__("fancyrag_ray.functions.graph", fromlist=["g"]).entity_degree_assortativity
             ),
+            "bigram_oov_rate": timed(
+                __import__("fancyrag_ray.functions.corpus", fromlist=["c"]).bigram_oov_rate
+            ),
             "approx_term_counts": timed(
                 lambda sf: rd.from_arrow(
                     __import__("__ray_entry__").queries()["approx_term_counts"](sf)

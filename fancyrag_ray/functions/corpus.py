@@ -327,3 +327,93 @@ scored AS (
 SELECT * FROM scored WHERE score > 0.0
 ORDER BY score DESC, doc_id LIMIT 10
 """
+
+
+# ---------------------------------------------------------------------------
+# bigram_oov_rate
+# ---------------------------------------------------------------------------
+
+
+def bigram_oov_rate(sf_dir: str, vocab_k: int = 512) -> rd.Dataset:
+    """Per-document bigram out-of-vocabulary rate vs the corpus
+    top-``vocab_k`` bigram table — the exact-integer-arithmetic analogue
+    of CCNet/FineWeb's LM-perplexity quality filter (a doc whose word
+    transitions rarely appear in the corpus LM is boilerplate, garbled,
+    or wrong-language; OOV-rate against the learned bigram vocabulary
+    captures the same signal without a float LM score).
+
+    Phase 1 learns the vocabulary with the :func:`word_bigram_counts`
+    machinery (per-block pair counts → groupby sum → two-stage prune;
+    the shuffle moves one row per distinct bigram per block). The
+    O(vocab_k) table ships once (``ray.put``). Phase 2 is one streaming
+    pass: per block, consecutive-pair construction from the flat token
+    array, vectorized ``pc.is_in``, per-doc bincount. ``oov_bp`` is
+    integer basis points ``(10000·n_oov) // n_bigrams`` — hash-exact vs
+    the SQL mirror; docs with <2 words carry no bigram and emit no row
+    (the mirror's UNNEST drops them identically)."""
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    vocab_tbl = pa.concat_tables(
+        list(word_bigram_counts(docs, k=vocab_k).iter_batches(batch_format="pyarrow"))
+    )
+    vocab_ref = ray.put(vocab_tbl.column("bigram").combine_chunks())
+
+    def score(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "n_bigrams": pa.array([], pa.int64()),
+             "n_oov": pa.array([], pa.int64()), "oov_bp": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        v, d = _flat_words(t)
+        if len(v) < 2:
+            return empty
+        vn = v.to_numpy(zero_copy_only=False)
+        same = d[:-1] == d[1:]
+        if not same.any():
+            return empty
+        big = pc.binary_join_element_wise(
+            pa.array(vn[:-1][same], pa.string()), pa.array(vn[1:][same], pa.string()), " "
+        )
+        dbig = d[:-1][same]
+        vocab = ray.get(vocab_ref)
+        in_vocab = pc.is_in(big, value_set=vocab).to_numpy(zero_copy_only=False)
+        n_big = np.bincount(dbig, minlength=t.num_rows).astype(np.int64)
+        n_in = np.bincount(
+            dbig, weights=in_vocab.astype(np.float64), minlength=t.num_rows
+        ).astype(np.int64)
+        mask = n_big > 0
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)[mask]
+        nb, noov = n_big[mask], n_big[mask] - n_in[mask]
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "n_bigrams": pa.array(nb, pa.int64()),
+                "n_oov": pa.array(noov, pa.int64()),
+                "oov_bp": pa.array((10000 * noov) // nb, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+BIGRAM_OOV_RATE_SQL = r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents
+),
+b AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bigram
+  FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+),
+vocab AS (
+  SELECT bigram FROM (
+    SELECT bigram, COUNT(*) AS c FROM b GROUP BY bigram ORDER BY c DESC, bigram LIMIT 512
+  )
+),
+d AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+         SUM(CASE WHEN bigram IN (SELECT bigram FROM vocab) THEN 0 ELSE 1 END)::BIGINT AS n_oov
+  FROM b GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, n_oov, (10000 * n_oov) // n_bigrams AS oov_bp FROM d
+"""

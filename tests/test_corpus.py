@@ -145,3 +145,47 @@ class TestCommonNeighbors:
         assert out.count() == 0
         # schema survives the empty return (rd.from_arrow on a typed table)
         assert out.schema().names == ["u", "v", "n_common", "deg_u", "deg_v", "jaccard"]
+
+
+class TestBigramOov:
+    def test_garbled_doc_scores_higher(self, ray_session, tmp_path):
+        """A doc made of corpus-typical bigrams scores near 0 bp; a
+        garbled doc of never-repeated bigrams scores 10000 bp."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from fancyrag_ray.functions.corpus import bigram_oov_rate
+
+        normal = "the quick brown fox " * 30
+        texts = [normal] * 9 + ["zq1 xv2 kj3 wp4 mn5 bt6 cr7 dl8"]
+        t = pa.table({
+            "doc_id": pa.array(range(10), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+        pq.write_table(t, f"{tmp_path}/documents.parquet")
+        out = bigram_oov_rate(str(tmp_path), vocab_k=4).to_pandas().set_index("doc_id")
+        assert (out.loc[range(9), "oov_bp"] == 0).all()  # the 4 repeated bigrams ARE the vocab
+        assert out.loc[9, "oov_bp"] == 10000             # all bigrams unseen twice
+        assert out.loc[9, "n_oov"] == out.loc[9, "n_bigrams"]
+
+    def test_sql_mirror_on_planted(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from fancyrag_ray.functions.corpus import BIGRAM_OOV_RATE_SQL, bigram_oov_rate
+
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["a b a b c", "c a  b", "single"], pa.string()),
+        })
+        pq.write_table(t, f"{tmp_path}/documents.parquet")
+        out = (
+            bigram_oov_rate(str(tmp_path))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", t)
+        sql = con.execute(BIGRAM_OOV_RATE_SQL).fetchdf().sort_values("doc_id").reset_index(drop=True)
+        assert out.equals(sql)
+        assert 3 not in set(out["doc_id"])  # single-word doc has no bigram
