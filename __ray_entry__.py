@@ -529,10 +529,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hour_value_stats": A.events_hour_value_stats,
         # bigram-OOV quality rate (LM-perplexity analogue), new this round
         "bigram_oov_rate": C.bigram_oov_rate,
-        # -- remaining r03-only-green slot accumulating a second driver
-        # row (distinct_order_priorities rotated past the cap for the
-        # row above; it keeps its r03 driver row + pytest oracle)
-        "token_histogram": T.token_histogram,
+        # market-basket co-purchase pair mining, new this round
+        "copurchase_pairs": A.copurchase_pairs,
         # ---- block 2 starts here: the cap lands after the row above —
         # events_by_type / quality_scores / doc_rollup / token_counts /
         # sample_documents_hash rotated past it this round to make room
@@ -542,6 +540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # keep their pytest oracle rows ----
         "events_by_type": R.events_by_type,
         "distinct_order_priorities": R.distinct_order_priorities,
+        "token_histogram": T.token_histogram,
         "quality_scores": T.quality_scores,
         "doc_rollup": T.doc_rollup,
         "token_counts": T.token_counts,
@@ -772,6 +771,8 @@ def oracle_sql() -> dict[str, str]:
         # bigram-OOV rate vs the learned top-512 bigram table — integer
         # basis points, the exact-arithmetic LM-perplexity analogue
         "bigram_oov_rate": C.BIGRAM_OOV_RATE_SQL,
+        # market-basket pair mining vs the distinct self-join mirror
+        "copurchase_pairs": A.COPURCHASE_PAIRS_SQL,
         "fulltext_bm25": C.FULLTEXT_BM25_SQL,
         "dedup_exact": T.DEDUP_EXACT_SQL,
         "quality_scores": T.QUALITY_SCORES_SQL,

@@ -551,6 +551,7 @@ def main() -> None:
             "entity_degree_assortativity": timed(
                 __import__("fancyrag_ray.functions.graph", fromlist=["g"]).entity_degree_assortativity
             ),
+            "copurchase_pairs": timed(A.copurchase_pairs),
             "bigram_oov_rate": timed(
                 __import__("fancyrag_ray.functions.corpus", fromlist=["c"]).bigram_oov_rate
             ),

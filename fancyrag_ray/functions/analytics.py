@@ -903,3 +903,99 @@ FROM (
 )
 GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# market-basket co-purchase pairs
+# ---------------------------------------------------------------------------
+
+
+def copurchase_pairs(sf_dir: str, top: int = 100, min_orders: int = 2) -> rd.Dataset:
+    """Frequent co-purchase part pairs (market-basket pair mining — the
+    A-priori candidate-generation step every recommender/affinity
+    pipeline runs): for every unordered part pair appearing together in
+    ≥ ``min_orders`` orders, the co-occurrence count; top-``top`` by
+    (n_orders desc, p1, p2).
+
+    Shape: ONE hash co-partition by orderkey (each basket lands whole in
+    one block), per-block distinct-parts-per-order pair generation from
+    the sorted flat array (vectorized triu indices — the
+    ``common_neighbor_scores`` kernel, but with a BOUNDED fan-out:
+    baskets are O(10) lineitems, so pairs/order ≤ C(|basket|,2) is a
+    constant, never the hub-pivot d² hazard), pair-count combine, then
+    block-prune → single-partition top-k (nothing pair-domain-sized is
+    globally sorted)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    n_li = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+
+    baskets = hash_partitioned_combine(
+        li.map_batches(distinct_partial, batch_format="pyarrow", batch_size=None),
+        ["l_orderkey"],
+        lambda t: t.group_by(["l_orderkey", "l_partkey"]).aggregate([]),
+        adaptive_partitions(16, n_rows=n_li),
+    )
+
+    def pair_block(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"p1": pa.array([], pa.int64()), "p2": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64())}
+        )
+        if t.num_rows < 2:
+            return empty
+        df = t.to_pandas().sort_values(["l_orderkey", "l_partkey"])
+        ok = df["l_orderkey"].to_numpy()
+        pk = df["l_partkey"].to_numpy()
+        p1s, p2s = [], []
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        ends = np.r_[starts[1:], len(ok)]
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            ai, bi = np.triu_indices(m, k=1)
+            p1s.append(pk[s:e][ai])
+            p2s.append(pk[s:e][bi])
+        if not p1s:
+            return empty
+        pt = pa.table(
+            {"p1": pa.array(np.concatenate(p1s), pa.int64()),
+             "p2": pa.array(np.concatenate(p2s), pa.int64())}
+        )
+        g = pt.group_by(["p1", "p2"]).aggregate([([], "count_all")])
+        return g.rename_columns(["p1", "p2", "n"])
+
+    pair_partials = baskets.map_batches(pair_block, batch_format="pyarrow", batch_size=None)
+    counts = hash_partitioned_combine(
+        pair_partials,
+        ["p1", "p2"],
+        lambda t: t.group_by(["p1", "p2"]).aggregate([("n", "sum")]).rename_columns(["p1", "p2", "n_orders"]),
+        adaptive_partitions(16, n_rows=n_li),
+    )
+
+    def prune(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("n_orders"), pa.scalar(min_orders)))
+        idx = pc.sort_indices(
+            t, sort_keys=[("n_orders", "descending"), ("p1", "ascending"), ("p2", "ascending")]
+        )
+        return t.take(idx[:top])
+
+    return (
+        counts.map_batches(prune, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(prune, batch_format="pyarrow", batch_size=None)
+    )
+
+
+COPURCHASE_PAIRS_SQL = """
+SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*)::BIGINT AS n_orders
+FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+ORDER BY n_orders DESC, p1, p2 LIMIT 100
+"""

@@ -290,3 +290,42 @@ class TestHourValueStats:
                 r_engine = float(row["cov_num"]) / den
                 r_np = np.corrcoef(x, y)[0, 1]
                 assert abs(r_engine - r_np) < 1e-9
+
+
+class TestCopurchase:
+    def test_planted_baskets(self, ray_session, tmp_path):
+        """Planted baskets: pair (1,2) appears in 3 orders, (1,3) in 2,
+        (2,3) in 1 (filtered by min_orders=2); duplicate lineitems of
+        the same part in one order count once."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from fancyrag_ray.functions.analytics import copurchase_pairs
+
+        rows = [
+            (100, 1), (100, 2), (100, 3),
+            (200, 1), (200, 2), (200, 2),   # dup part 2 — counts once
+            (300, 1), (300, 2),
+            (400, 1), (400, 3),
+        ]
+        t = pa.table({
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+            "l_shipdate": pa.array([None] * len(rows), pa.timestamp("us")),
+        })
+        pq.write_table(t, f"{tmp_path}/lineitem.parquet")
+        out = copurchase_pairs(str(tmp_path)).to_pandas()
+        got = {(r.p1, r.p2): r.n_orders for r in out.itertuples()}
+        assert got == {(1, 2): 3, (1, 3): 2}
+
+    def test_matches_duckdb_on_testdata(self, ray_session):
+        import duckdb
+
+        from fancyrag_ray.functions.analytics import COPURCHASE_PAIRS_SQL, copurchase_pairs
+
+        sf = "/root/testdata/sf0.001"
+        out = copurchase_pairs(sf).to_pandas().reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{sf}/lineitem.parquet')")
+        sql = con.execute(COPURCHASE_PAIRS_SQL).fetchdf().reset_index(drop=True)
+        assert out.equals(sql)
