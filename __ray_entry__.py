@@ -186,6 +186,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
         return f(ds)
 
+    def approx_hourly_distinct_users(sf_dir: str):
+        """KEYED HLL — per tumbling-hour approximate distinct users
+        (exact per-window COUNT(DISTINCT) at scale shuffles every
+        (window, user) pair; this ships one 1-KiB register array per
+        window per block, elementwise-max reduced per key). No SQL
+        oracle: approximate by design; the per-window relative-error
+        bound vs exact is pinned in tests/test_sketches.py."""
+        from fancyrag_ray.functions.sketches import approx_hourly_distinct_users as f
+
+        return f(sf_dir)
+
     def approx_price_quantiles(sf_dir: str):
         """KLL quantile sketch over orders.o_totalprice — the continuous-
         domain quantile path (one ≤k·levels-float summary per block; rows
@@ -602,6 +613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_top_sources": approx_top_sources,
         "approx_price_quantiles": approx_price_quantiles,
         "approx_term_counts": approx_term_counts,
+        "approx_hourly_distinct_users": approx_hourly_distinct_users,
         "entity_pagerank": entity_pagerank,
         "embedding_kmeans": embedding_kmeans,
         "embedding_semdedup": embedding_semdedup,

@@ -555,6 +555,9 @@ def main() -> None:
             "bigram_oov_rate": timed(
                 __import__("fancyrag_ray.functions.corpus", fromlist=["c"]).bigram_oov_rate
             ),
+            "approx_hourly_distinct_users": timed(
+                __import__("fancyrag_ray.functions.sketches", fromlist=["s"]).approx_hourly_distinct_users
+            ),
             "approx_term_counts": timed(
                 lambda sf: rd.from_arrow(
                     __import__("__ray_entry__").queries()["approx_term_counts"](sf)

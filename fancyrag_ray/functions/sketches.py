@@ -454,3 +454,88 @@ def approx_term_counts(
         {"term": pa.array(list(terms), pa.string()),
          "approx_count": pa.array(q, pa.int64())}
     )
+
+
+def keyed_hll_distinct(
+    ds: rd.Dataset,
+    key_col: str,
+    value_col: str,
+    p: int = 10,
+    key_fn=None,
+) -> rd.Dataset:
+    """KEYED approximate distinct — the sketch-by-key aggregate (per
+    tumbling window / per tenant / per source), distinct from this
+    module's whole-corpus sketches: per block ONE HLL register array per
+    key present (vectorized build), then a hash co-partition by key and
+    an elementwise-max reduce per group. The shuffle moves
+    O(keys-per-block × 2^p bytes) — at 10^12 rows a keyed exact
+    COUNT(DISTINCT) shuffles every (key, value) pair, while this ships
+    fixed 1-KiB registers regardless of group size. Returns
+    ``(key, approx_distinct)`` with the standard HLL small-range linear
+    counting (near-exact for small groups).
+
+    ``key_fn`` (optional) maps the raw key column (Arrow) to the
+    grouping key per batch — e.g. ``pc.floor_temporal`` for tumbling
+    windows."""
+    from ..util import adaptive_partitions, hash_partitioned_combine
+
+    def sketch_block(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col)
+        if key_fn is not None:
+            keys = key_fn(keys)
+        kt = pa.table({"k": keys, "v": t.column(value_col)})
+        out_k, out_r = [], []
+        h = _hash_column(kt.column("v").combine_chunks())
+        karr = kt.column("k").to_numpy(zero_copy_only=False)
+        order = np.argsort(karr, kind="stable")
+        karr_s, h_s = karr[order], h[order]
+        starts = np.flatnonzero(np.r_[True, karr_s[1:] != karr_s[:-1]])
+        ends = np.r_[starts[1:], len(karr_s)]
+        for s, e in zip(starts, ends):
+            sk = HllSketch(p)
+            sk.add_hashes(h_s[s:e])
+            out_k.append(karr_s[s])
+            out_r.append(sk.registers.tobytes())
+        ktype = kt.schema.field("k").type
+        return pa.table(
+            {"k": pa.array(out_k, ktype), "regs": pa.array(out_r, pa.binary())}
+        )
+
+    partials = ds.map_batches(sketch_block, batch_format="pyarrow", batch_size=None)
+    n_keys_hint = partials.count()  # ≤ keys × blocks — sized for the combine
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        ks, est = [], []
+        for k, g in df.groupby("k", sort=False):
+            regs = np.stack([np.frombuffer(r, np.uint8) for r in g["regs"]]).max(axis=0)
+            sk = HllSketch(p)
+            sk.registers = regs.copy()
+            ks.append(k)
+            est.append(int(round(sk.estimate())))
+        ktype = t.schema.field("k").type
+        return pa.table(
+            {"k": pa.array(ks, ktype), "approx_distinct": pa.array(est, pa.int64())}
+        )
+
+    return hash_partitioned_combine(
+        partials, ["k"], combine, adaptive_partitions(8, n_rows=n_keys_hint)
+    )
+
+
+def approx_hourly_distinct_users(sf_dir: str, p: int = 10) -> rd.Dataset:
+    """Per tumbling-hour approximate distinct users over events — the
+    streaming-analytics keyed-cardinality view (exact per-window
+    COUNT(DISTINCT) at corpus scale shuffles every (window, user) pair;
+    this ships one 1-KiB register array per window per block).
+    Approximate by design ⇒ rows-only driver check; the per-window
+    relative-error bound vs exact is pinned in tests."""
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    out = keyed_hll_distinct(
+        ds, "ts", "user_id", p=p, key_fn=lambda c: pc.floor_temporal(c, unit="hour")
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(["hour", "approx_users"]), batch_format="pyarrow"
+    )

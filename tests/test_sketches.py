@@ -239,3 +239,46 @@ class TestCountMin:
             e = exact.get(term, 0)
             assert out[term] >= e
             assert out[term] <= e + 2 * n_total // (1 << 14) + 1
+
+
+class TestKeyedHll:
+    def test_per_hour_error_bound(self, ray_session):
+        """Keyed HLL per tumbling hour vs exact distinct users: every
+        window within 5% relative error (p=10 linear counting makes the
+        small windows near-exact)."""
+        import duckdb
+
+        from fancyrag_ray.functions.sketches import approx_hourly_distinct_users
+
+        sf = "/root/testdata/sf0.001"
+        got = approx_hourly_distinct_users(sf).to_pandas().set_index("hour")["approx_users"]
+        con = duckdb.connect()
+        exact = con.execute(
+            f"SELECT date_trunc('hour', ts) AS hour, COUNT(DISTINCT user_id) AS n "
+            f"FROM read_parquet('{sf}/events.parquet') GROUP BY 1"
+        ).fetchdf().set_index("hour")["n"]
+        assert set(got.index) == set(exact.index)
+        rel = ((got.sort_index() - exact.sort_index()).abs() / exact.sort_index()).max()
+        assert rel <= 0.05, f"max per-window relative error {rel:.3f}"
+
+    def test_merge_across_blocks_equals_single_sketch(self, ray_session):
+        """A key whose rows are split across many blocks reduces to the
+        same registers as one sketch over all its rows (planted)."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from fancyrag_ray.functions.sketches import HllSketch, _hash_column, keyed_hll_distinct
+
+        users = list(range(500))
+        t = pa.table({
+            "k": pa.array(["a"] * 500 + ["b"] * 100, pa.string()),
+            "v": pa.array(users + users[:100], pa.int64()),
+        })
+        ds = rd.from_arrow(t).repartition(8)  # scatter the key across blocks
+        out = keyed_hll_distinct(ds, "k", "v").to_pandas().set_index("k")["approx_distinct"]
+        ref = {}
+        for key, vals in (("a", users), ("b", users[:100])):
+            s = HllSketch(10)
+            s.add_hashes(_hash_column(pa.array(vals, pa.int64())))
+            ref[key] = int(round(s.estimate()))
+        assert out.to_dict() == ref
